@@ -1,0 +1,75 @@
+"""Benchmark harness: Collect agent-steps/s/chip at batch 8192.
+
+Config matches BASELINE.json PR1: multigrid-collect-respawn-clustered-v0
+(2 agents, Discrete(4), 50-step truncation) run as a vmapped lockstep batch
+with in-graph auto-reset, whole rollout under one lax.scan.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the measured reference throughput on 1 CPU core
+(~9,400 agent-steps/s, SURVEY.md §6 / BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gym_multigrid_tpu.envs.collect import CollectConfig
+from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+REFERENCE_AGENT_STEPS_PER_SEC = 9_400.0  # measured on the reference, 1 CPU core
+BATCH = 8192
+STEPS_PER_CALL = 256
+
+
+def main():
+    cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=50)
+    env = make_collect_batch(cfg, BATCH, auto_reset=True)
+
+    @jax.jit
+    def init(key):
+        states, _ = env.reset(key)
+        return states
+
+    @jax.jit
+    def run(states, key):
+        return env.rollout(
+            states, key, STEPS_PER_CALL, num_actions=4, actions_shape=(2,)
+        )
+
+    key = jax.random.PRNGKey(0)
+    states = init(key)
+    # Warm up / compile.
+    states, metrics = run(states, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["reward_sum"])
+
+    reps = 8
+    t0 = time.perf_counter()
+    for r in range(reps):
+        states, metrics = run(states, jax.random.PRNGKey(2 + r))
+    jax.block_until_ready(metrics["reward_sum"])
+    dt = time.perf_counter() - t0
+
+    env_steps = BATCH * STEPS_PER_CALL * reps
+    agent_steps = env_steps * cfg.num_agents
+    agent_steps_per_sec = agent_steps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "agent-steps/sec/chip (Collect, batch 8192)",
+                "value": round(agent_steps_per_sec, 1),
+                "unit": "agent-steps/s",
+                "vs_baseline": round(
+                    agent_steps_per_sec / REFERENCE_AGENT_STEPS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

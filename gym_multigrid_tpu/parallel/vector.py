@@ -1,0 +1,115 @@
+"""Batched lockstep env execution: vmap + auto-reset + scan rollouts.
+
+This is the performance surface the reference lacks entirely (one env, one
+Python process — SURVEY.md §2.4).  An env batch runs in lockstep; done envs
+are reset *inside* the jitted step (select-based auto-reset), and whole
+rollouts run as a single ``lax.scan`` so dispatch overhead amortizes to zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _where_done(done: jax.Array, a: Any, b: Any) -> Any:
+    """tree-select: done envs take ``a``, others ``b`` (batch-leading leaves)."""
+
+    def sel(x, y):
+        d = done.reshape(done.shape + (1,) * (x.ndim - done.ndim))
+        return jnp.where(d, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+@dataclass(frozen=True)
+class BatchedEnv:
+    """Batched functional env with auto-reset.
+
+    reset(key) -> (states, obs)
+    step(states, actions) -> (states', obs, rewards, terminated, truncated)
+
+    ``step`` applies the underlying transition to every env, then replaces
+    done envs with freshly reset states (the obs/reward returned are the
+    *pre-reset* ones, gymnasium autoreset convention: final step visible,
+    next obs comes from the reset state on the following call).
+    """
+
+    reset_one: Callable
+    step_one: Callable
+    encode_one: Callable
+    num_envs: int
+    auto_reset: bool = True
+
+    def reset(self, key: jax.Array):
+        keys = jax.random.split(key, self.num_envs)
+        states = jax.vmap(self.reset_one)(keys)
+        obs = jax.vmap(self.encode_one)(states)
+        return states, obs
+
+    def step(self, states, actions):
+        new_states, obs, rewards, term, trunc, info = jax.vmap(self.step_one)(
+            states, actions
+        )
+        if self.auto_reset:
+            done = term | trunc
+            # Each env resets from its own post-step key -> streams stay
+            # independent per env and across resets.
+            reset_keys = jax.vmap(jax.random.split)(new_states.key)
+            fresh = jax.vmap(self.reset_one)(reset_keys[:, 0])
+            new_states = _where_done(done, fresh, new_states)
+        return new_states, obs, rewards, term, trunc
+
+    def rollout(
+        self,
+        states,
+        key: jax.Array,
+        num_steps: int,
+        policy: Callable | None = None,
+        num_actions: int = 4,
+        actions_shape: tuple[int, ...] = (2,),
+    ):
+        """Scan ``num_steps`` lockstep steps.
+
+        policy(key, obs_states) -> actions; defaults to uniform random
+        actions. Returns (final_states, metrics dict of summed
+        rewards/episodes).
+        """
+
+        def body(carry, _):
+            states, key, ret_sum, ep_count = carry
+            key, k_act = jax.random.split(key)
+            if policy is None:
+                actions = jax.random.randint(
+                    k_act, (self.num_envs, *actions_shape), 0, num_actions
+                )
+            else:
+                actions = policy(k_act, states)
+            states, obs, rewards, term, trunc = self.step(states, actions)
+            done = term | trunc
+            ret_sum = ret_sum + rewards.sum()
+            ep_count = ep_count + done.sum()
+            return (states, key, ret_sum, ep_count), None
+
+        init = (states, key, jnp.float32(0.0), jnp.int32(0))
+        (states, _, ret_sum, ep_count), _ = jax.lax.scan(
+            body, init, None, length=num_steps
+        )
+        return states, {"reward_sum": ret_sum, "episodes": ep_count}
+
+
+def make_collect_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
+    from gym_multigrid_tpu.envs.collect import make_collect
+
+    reset_one, step_one, encode_one = make_collect(cfg)
+    return BatchedEnv(
+        reset_one=reset_one,
+        step_one=step_one,
+        encode_one=encode_one,
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+    )

@@ -1,0 +1,154 @@
+"""PPO learner over sharded in-graph rollouts.
+
+Replaces the reference's host-side SB3 PPO training script
+(scripts/main_mvn_ctf_rl.py) with a fully jitted train step: the env rollout
+(lax.scan over a vmapped batch), GAE, and the clipped PPO update all compile
+into one XLA program.  Under a mesh, the env batch shards over the 'data'
+axis and gradients reduce with XLA-inserted collectives (psum over ICI).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gym_multigrid_tpu.rl.networks import ActorCritic, sample_actions
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    rollout_len: int = 32
+    num_epochs: int = 1
+    max_grad_norm: float = 0.5
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    actions: jax.Array
+    logp: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
+    """Build (init_fn, train_step) for a BatchedEnv + ActorCritic.
+
+    env: BatchedEnv (parallel.vector) — per-agent reward is summed into a
+    team reward for the shared policy.
+    """
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+    def init_fn(key: jax.Array):
+        k_env, k_net = jax.random.split(key)
+        states, obs = env.reset(k_env)
+        params = net.init(k_net, obs[:1])
+        opt_state = tx.init(params)
+        return params, opt_state, states
+
+    def _rollout(params, states, key):
+        def body(carry, _):
+            states, key = carry
+            key, k_act = jax.random.split(key)
+            obs = jax.vmap(env.encode_one)(states)
+            logits, value = net.apply(params, obs)
+            actions, logp = sample_actions(k_act, logits)
+            states, _, rewards, term, trunc = env.step(states, actions)
+            tr = Transition(
+                obs=obs,
+                actions=actions,
+                logp=logp,
+                value=value,
+                reward=rewards.sum(axis=-1),
+                done=(term | trunc).astype(jnp.float32),
+            )
+            return (states, key), tr
+
+        (states, key), traj = jax.lax.scan(
+            body, (states, key), None, length=cfg.rollout_len
+        )
+        last_obs = jax.vmap(env.encode_one)(states)
+        _, last_value = net.apply(params, last_obs)
+        return states, traj, last_value
+
+    def _gae(traj: Transition, last_value):
+        def body(carry, tr):
+            gae, next_value = carry
+            nonterminal = 1.0 - tr.done
+            delta = tr.reward + cfg.gamma * next_value * nonterminal - tr.value
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            return (gae, tr.value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj.value
+        return advantages, returns
+
+    def _loss(params, traj: Transition, advantages, returns):
+        T, B = traj.reward.shape
+        obs = traj.obs.reshape((T * B,) + traj.obs.shape[2:])
+        logits, value = net.apply(params, obs)
+        logits = logits.reshape((T, B) + logits.shape[1:])
+        value = value.reshape(T, B)
+
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        chosen = jnp.take_along_axis(
+            logp_all, traj.actions[..., None], axis=-1
+        ).squeeze(-1)
+        logp = chosen.sum(axis=-1)
+
+        ratio = jnp.exp(logp - traj.logp)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.square(value - returns).mean()
+        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return loss, {
+            "loss": loss,
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "reward_per_step": traj.reward.mean(),
+        }
+
+    def train_step(params, opt_state, states, key):
+        """One PPO iteration: rollout + GAE + update. Fully jittable."""
+        key, k_roll = jax.random.split(key)
+        states, traj, last_value = _rollout(params, states, k_roll)
+        advantages, returns = _gae(traj, last_value)
+
+        def one_epoch(carry, _):
+            params, opt_state = carry
+            (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(
+                params, traj, advantages, returns
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            one_epoch, (params, opt_state), None, length=cfg.num_epochs
+        )
+        metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return params, opt_state, states, key, metrics
+
+    return init_fn, train_step
