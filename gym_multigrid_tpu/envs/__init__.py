@@ -8,9 +8,17 @@ from gym_multigrid_tpu.adapters.gym_adapter import (
     CollectGameRooms,
     CollectGameRoomsFixedHorizon,
 )
+from gym_multigrid_tpu.adapters.ctf_adapter import Ctf1v1Env, CtFMvNEnv
 from gym_multigrid_tpu.envs.collect import CollectConfig, CollectState, make_collect
+from gym_multigrid_tpu.envs.ctf import CtfConfig, CtfState, PolicySpec, make_ctf
 
 __all__ = [
+    "Ctf1v1Env",
+    "CtFMvNEnv",
+    "CtfConfig",
+    "CtfState",
+    "PolicySpec",
+    "make_ctf",
     "CollectGameEnv",
     "CollectGameEvenDist",
     "CollectGameQuadrants",

@@ -181,3 +181,80 @@ def render_collect(cfg, state, tile_size: int = TILE_PIXELS) -> np.ndarray:
     ids = np.where(obj == BALL, 2 + color, ids)
     ids = np.where(obj == AGENT, 2 + ncol + color, ids)
     return assemble(_collect_bank(tile_size), ids)
+
+
+# ---------------------------------------------------------------------------
+# CtF renderer
+# ---------------------------------------------------------------------------
+
+# Sprite-bank layout for CtF (base tiles then agent tiles):
+#   0 empty, 1 blue territory, 2 red territory, 3 obstacle,
+#   4 blue flag, 5 red flag,
+#   6 + (color * 3 + bg) * 4 + dir  for agents, with
+#   color in {0: blue, 1: red, 2: blue_grey, 3: red_grey} and
+#   bg in {0: light_blue, 1: light_red, 2: none}.
+_CTF_AGENT_BASE = 6
+_CTF_AGENT_COLORS = ("blue", "red", "blue_grey", "red_grey")
+_CTF_BGS = ("light_blue", "light_red", None)
+
+
+@functools.cache
+def _ctf_bank(tile_size: int = TILE_PIXELS):
+    from gym_multigrid_tpu.core.constants import CTF_COLORS
+
+    c = CTF_COLORS
+    bank = [
+        tile_empty(tile_size),
+        tile_filled(c["light_blue"], tile_size),
+        tile_filled(c["light_red"], tile_size),
+        tile_filled(c["grey"], tile_size),
+        tile_ball(c["blue"], c["light_blue"], tile_size),
+        tile_ball(c["red"], c["light_red"], tile_size),
+    ]
+    for color in _CTF_AGENT_COLORS:
+        for bg in _CTF_BGS:
+            for d in range(4):
+                bank.append(
+                    tile_agent(c[color], d, c[bg] if bg else None, tile_size)
+                )
+    return np.stack(bank)
+
+
+def render_ctf(cfg, state, tile_size: int = TILE_PIXELS) -> np.ndarray:
+    """Render a CtfState: static map tiles + agent triangles.
+
+    Visual parity targets: Floor/Obstacle fills, Flag circles with team
+    background, agent triangles rotated by dir with territory background and
+    grey colors once defeated (ctf.py:279-323, 1409-1418; agent.py:105-117).
+    Image orientation matches Grid.render: row = second map coord, col =
+    first (grid.py:183-221 with put_obj(obj, i, j)).
+    """
+    from gym_multigrid_tpu.envs.ctf import (
+        BLUE_FLAG,
+        BLUE_TERRITORY,
+        OBSTACLE,
+        RED_FLAG,
+        RED_TERRITORY,
+        build_tables,
+    )
+
+    t = build_tables(cfg)
+    fm = t.fm
+    ids = np.zeros(fm.shape, dtype=np.int64)
+    ids[fm == BLUE_TERRITORY] = 1
+    ids[fm == RED_TERRITORY] = 2
+    ids[fm == OBSTACLE] = 3
+    ids[fm == BLUE_FLAG] = 4
+    ids[fm == RED_FLAG] = 5
+
+    pos = np.asarray(state.pos)
+    dirs = np.asarray(state.dir)
+    term = np.asarray(state.terminated)
+    n_blue = cfg.num_blue_agents
+    for a in range(pos.shape[0]):
+        i, j = int(pos[a, 0]), int(pos[a, 1])
+        is_blue = a < n_blue
+        color = (0 if is_blue else 1) + (2 if term[a] else 0)
+        bg = 0 if t.blue_mask[i, j] else (1 if t.red_mask[i, j] else 2)
+        ids[i, j] = _CTF_AGENT_BASE + (color * 3 + bg) * 4 + int(dirs[a]) % 4
+    return assemble(_ctf_bank(tile_size), ids.T)
