@@ -9,8 +9,10 @@ from gym_multigrid_tpu.adapters.gym_adapter import (
     CollectGameRoomsFixedHorizon,
 )
 from gym_multigrid_tpu.adapters.ctf_adapter import Ctf1v1Env, CtFMvNEnv
+from gym_multigrid_tpu.adapters.maze_adapter import MazeSingleAgentEnv
 from gym_multigrid_tpu.envs.collect import CollectConfig, CollectState, make_collect
 from gym_multigrid_tpu.envs.ctf import CtfConfig, CtfState, PolicySpec, make_ctf
+from gym_multigrid_tpu.envs.maze import MazeConfig, MazeState, make_maze
 
 __all__ = [
     "Ctf1v1Env",
@@ -19,6 +21,10 @@ __all__ = [
     "CtfState",
     "PolicySpec",
     "make_ctf",
+    "MazeSingleAgentEnv",
+    "MazeConfig",
+    "MazeState",
+    "make_maze",
     "CollectGameEnv",
     "CollectGameEvenDist",
     "CollectGameQuadrants",

@@ -1,0 +1,205 @@
+"""Maze env family — TPU-native functional engine.
+
+Reference parity target: gym_multigrid/envs/maze.py (MazeSingleAgentEnv,
+maze.py:26-377).  Single agent, static map of background/flag/obstacle
+cells; the whole dynamic state is one (2,) position.
+
+Semantics preserved exactly (verified in tests/test_maze.py):
+
+* Moves stay/left/down/right/up with the same vectors as CtF
+  (maze.py:276-288); bounds check pos[0] against shape[0] and pos[1]
+  against shape[1] (maze.py:290-295 — unlike CtF, the maze env checks the
+  natural axis order).
+* Obstacles block when obstacle_penalty == 0 (Obstacle.can_overlap,
+  object.py:200-201); background and flags always overlap.
+* Reward: +flag_reward on any flag cell (terminated); -obstacle_penalty on
+  an obstacle cell when the penalty is enabled (terminated); step penalty
+  -flag_reward*step_penalty_ratio every step (maze.py:331-369).
+* Spawn: uniform over background cells (maze.py:202-205 uses the *global*
+  np.random stream — a documented reference quirk, SURVEY.md §2.3; here the
+  draw comes from the env's own key).
+* Obs: "positional" dict of int64 coordinate arrays, or "map" — the encoded
+  grid as float64, NOT transposed (maze.py:245-260; verified upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_multigrid_tpu.core.constants import CTF_ACTION_TO_VEC
+from gym_multigrid_tpu.core.world import MazeWorld
+
+_W = MazeWorld.OBJECT_TO_IDX
+BACKGROUND = _W["background"]
+M_AGENT = _W["agent"]
+FLAG = _W["flag"]
+M_OBSTACLE = _W["obstacle"]
+
+NUM_ACTIONS = 5
+
+
+@dataclass(frozen=True)
+class MazeConfig:
+    """Static Maze configuration (hashable -> usable as a jit constant)."""
+
+    map_data: tuple[tuple[int, ...], ...]
+    max_steps: int = 100
+    flag_reward: float = 1.0
+    obstacle_penalty_ratio: float = 0.0
+    step_penalty_ratio: float = 0.01
+    observation_option: Literal["positional", "map"] = "map"
+
+    @classmethod
+    def from_map_path(cls, map_path: str, **kwargs) -> "MazeConfig":
+        from gym_multigrid_tpu.utils.map import load_text_map
+
+        fm = load_text_map(map_path).astype(int)
+        return cls(map_data=tuple(tuple(row) for row in fm), **kwargs)
+
+    @property
+    def field_map(self) -> np.ndarray:
+        return np.asarray(self.map_data, dtype=np.int64)
+
+    @property
+    def obstacle_penalty(self) -> float:
+        return self.obstacle_penalty_ratio * self.flag_reward
+
+    @property
+    def step_penalty(self) -> float:
+        return self.step_penalty_ratio * self.flag_reward
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class MazeState:
+    pos: jax.Array  # (2,) int32
+    dir: jax.Array  # () int32 render-facing
+    step_count: jax.Array  # () int32
+    key: jax.Array
+
+
+@dataclass(frozen=True)
+class MazeFns:
+    reset_fn: callable  # key -> MazeState
+    step_fn: callable  # (state, action) -> (state', obs, r, term, trunc, info)
+    obs_fn: callable  # state -> obs pytree
+    info_fn: callable  # state -> {d_a_f, d_a_ob}
+
+
+def make_maze(cfg: MazeConfig) -> MazeFns:
+    fm = cfg.field_map
+    S0, S1 = fm.shape
+    background = np.argwhere(fm == BACKGROUND)
+    flags = np.argwhere(fm == FLAG)
+    obstacles = np.argwhere(fm == M_OBSTACLE)
+
+    background_j = jnp.asarray(background, dtype=jnp.int32)
+    flags_j = jnp.asarray(flags, dtype=jnp.int32)
+    obstacles_j = jnp.asarray(obstacles.reshape(-1, 2), dtype=jnp.int32)
+    flag_mask = jnp.asarray(fm == FLAG)
+    obstacle_mask = jnp.asarray(fm == M_OBSTACLE)
+    if cfg.obstacle_penalty != 0:
+        can_enter = jnp.ones_like(flag_mask)
+    else:
+        can_enter = jnp.asarray(fm != M_OBSTACLE)
+    action_vec = jnp.asarray(CTF_ACTION_TO_VEC)
+    shape_max = jnp.asarray([S0 - 1, S1 - 1], dtype=jnp.int32)
+    # Action -> render dir (same mapping as CtF; delta vs DIR_TO_VEC).
+    act_to_dir = jnp.asarray([3, 3, 2, 1, 0], dtype=jnp.int32)
+
+    def _cell(mask, p):
+        q = jnp.clip(p, 0, shape_max)
+        return mask[q[0], q[1]]
+
+    def reset_fn(key: jax.Array) -> MazeState:
+        key, k = jax.random.split(key)
+        idx = jax.random.randint(k, (), 0, background_j.shape[0])
+        return MazeState(
+            pos=background_j[idx],
+            dir=jnp.int32(3),
+            step_count=jnp.int32(0),
+            key=key,
+        )
+
+    def step_fn(state: MazeState, action: jax.Array):
+        action = jnp.clip(jnp.asarray(action).reshape(()).astype(jnp.int32), 0, 4)
+        nxt = state.pos + action_vec[action]
+        inb = (nxt[0] >= 0) & (nxt[1] >= 0) & (nxt[0] < S0) & (nxt[1] < S1)
+        can_move = inb & _cell(can_enter, nxt) & (action != 0)
+        pos = jnp.where(can_move, nxt, state.pos)
+        dir = jnp.where(can_move, act_to_dir[action], state.dir)
+
+        on_flag = _cell(flag_mask, pos)
+        reward = cfg.flag_reward * on_flag.astype(jnp.float32)
+        terminated = on_flag
+        if cfg.obstacle_penalty != 0:
+            on_obs = _cell(obstacle_mask, pos)
+            reward = reward - cfg.obstacle_penalty * on_obs.astype(jnp.float32)
+            terminated = terminated | on_obs
+        reward = reward - cfg.step_penalty
+
+        step_count = state.step_count + 1
+        truncated = step_count >= cfg.max_steps
+        new_state = MazeState(
+            pos=pos, dir=dir, step_count=step_count, key=state.key
+        )
+        return (
+            new_state,
+            obs_fn(new_state),
+            reward,
+            terminated,
+            truncated,
+            info_fn(new_state),
+        )
+
+    # ---- observations ----------------------------------------------------
+    base_map_np = np.zeros(fm.shape, dtype=np.float64)
+    base_map_np[fm == BACKGROUND] = BACKGROUND
+    base_map_np[fm == M_OBSTACLE] = M_OBSTACLE
+    base_map_np[fm == FLAG] = FLAG
+    base_map = jnp.asarray(base_map_np)
+
+    def obs_map(state: MazeState) -> jax.Array:
+        """Encoded map, float64 dtype, NOT transposed (maze.py:245-260)."""
+        return base_map.at[state.pos[0], state.pos[1]].set(M_AGENT)
+
+    def obs_positional(state: MazeState):
+        return {
+            "agent": state.pos,
+            "background": background_j.reshape(-1),
+            "flag": flags_j.reshape(-1),
+            "obstacle": obstacles_j.reshape(-1),
+        }
+
+    obs_fn = obs_map if cfg.observation_option == "map" else obs_positional
+
+    def info_fn(state: MazeState):
+        p = state.pos.astype(jnp.float32)
+
+        def d_area(area):
+            if area.shape[0] == 0:
+                return jnp.float32(jnp.inf)
+            return jnp.min(jnp.linalg.norm(area.astype(jnp.float32) - p, axis=1))
+
+        return {"d_a_f": d_area(flags_j), "d_a_ob": d_area(obstacles_j)}
+
+    return MazeFns(
+        reset_fn=reset_fn, step_fn=step_fn, obs_fn=obs_fn, info_fn=info_fn
+    )
+
+
+@functools.cache
+def cached_maze(cfg: MazeConfig) -> MazeFns:
+    fns = make_maze(cfg)
+    return MazeFns(
+        reset_fn=jax.jit(fns.reset_fn),
+        step_fn=jax.jit(fns.step_fn),
+        obs_fn=jax.jit(fns.obs_fn),
+        info_fn=jax.jit(fns.info_fn),
+    )

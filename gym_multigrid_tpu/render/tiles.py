@@ -258,3 +258,42 @@ def render_ctf(cfg, state, tile_size: int = TILE_PIXELS) -> np.ndarray:
         bg = 0 if t.blue_mask[i, j] else (1 if t.red_mask[i, j] else 2)
         ids[i, j] = _CTF_AGENT_BASE + (color * 3 + bg) * 4 + int(dirs[a]) % 4
     return assemble(_ctf_bank(tile_size), ids.T)
+
+
+# ---------------------------------------------------------------------------
+# Maze renderer
+# ---------------------------------------------------------------------------
+
+# Bank layout: 0 empty, 1 white background, 2 grey obstacle,
+# 3 red flag on white, 4..7 blue agent on white by dir.
+
+
+@functools.cache
+def _maze_bank(tile_size: int = TILE_PIXELS):
+    from gym_multigrid_tpu.core.constants import MAZE_COLORS
+
+    c = MAZE_COLORS
+    bank = [
+        tile_empty(tile_size),
+        tile_filled(c["white"], tile_size),
+        tile_filled(c["grey"], tile_size),
+        tile_ball(c["red"], c["white"], tile_size),
+    ]
+    for d in range(4):
+        bank.append(tile_agent(c["blue"], d, c["white"], tile_size))
+    return np.stack(bank)
+
+
+def render_maze(cfg, state, tile_size: int = TILE_PIXELS) -> np.ndarray:
+    """Render a MazeState: white background, grey obstacles, red flag
+    circles, blue agent triangle (maze.py:91-99, 180-198)."""
+    from gym_multigrid_tpu.envs.maze import BACKGROUND, FLAG, M_OBSTACLE
+
+    fm = cfg.field_map
+    ids = np.zeros(fm.shape, dtype=np.int64)
+    ids[fm == BACKGROUND] = 1
+    ids[fm == M_OBSTACLE] = 2
+    ids[fm == FLAG] = 3
+    pos = np.asarray(state.pos)
+    ids[int(pos[0]), int(pos[1])] = 4 + int(np.asarray(state.dir)) % 4
+    return assemble(_maze_bank(tile_size), ids.T)
