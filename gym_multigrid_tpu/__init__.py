@@ -120,5 +120,15 @@ def register_envs() -> None:
         },
     )
 
+    # Wildfire: new family (the reference README lists it with no code —
+    # envs/wildfire.py design note)
+    register(
+        id="multigrid-wildfire-v0",
+        entry_point="gym_multigrid_tpu.envs:WildfireEnv",
+        max_episode_steps=100,
+        disable_env_checker=True,
+        kwargs={"size": 16, "num_agents": 2},
+    )
+
 
 register_envs()

@@ -297,3 +297,40 @@ def render_maze(cfg, state, tile_size: int = TILE_PIXELS) -> np.ndarray:
     pos = np.asarray(state.pos)
     ids[int(pos[0]), int(pos[1])] = 4 + int(np.asarray(state.dir)) % 4
     return assemble(_maze_bank(tile_size), ids.T)
+
+
+# ---------------------------------------------------------------------------
+# Wildfire renderer
+# ---------------------------------------------------------------------------
+
+# Bank: 0 empty, 1 green tree, 2 red fire, 3 grey burnt, 4.. agent colors.
+
+
+@functools.cache
+def _wildfire_bank(tile_size: int = TILE_PIXELS):
+    from gym_multigrid_tpu.core.constants import COLORS
+
+    bank = [
+        tile_empty(tile_size),
+        tile_ball(COLORS["green"], None, tile_size),
+        tile_filled(COLORS["red"], tile_size),
+        tile_filled(COLORS["grey"], tile_size),
+    ]
+    for c in COLORS.values():
+        bank.append(tile_agent(c, 3, None, tile_size))
+    return np.stack(bank)
+
+
+def render_wildfire(cfg, state, tile_size: int = TILE_PIXELS) -> np.ndarray:
+    """Wildfire frame: tree circles, fire/burnt fills, agent triangles."""
+    from gym_multigrid_tpu.envs.wildfire import BURNT, FIRE, TREE
+
+    cells = np.asarray(state.cells)  # (H, W) = [y, x]
+    ids = np.zeros_like(cells)
+    ids[cells == TREE] = 1
+    ids[cells == FIRE] = 2
+    ids[cells == BURNT] = 3
+    pos = np.asarray(state.agent_pos)
+    for i, ci in enumerate(cfg.agents_index):
+        ids[int(pos[i, 1]), int(pos[i, 0])] = 4 + int(ci)
+    return assemble(_wildfire_bank(tile_size), ids)

@@ -1,0 +1,110 @@
+"""Wildfire family tests (new family — semantics fixed by the design note in
+envs/wildfire.py; these are its specification tests)."""
+
+import numpy as np
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gym_multigrid_tpu  # noqa: F401
+from gym_multigrid_tpu.envs.wildfire import (
+    BURNT,
+    FIRE,
+    TREE,
+    WildfireConfig,
+    WildfireState,
+    make_wildfire,
+)
+
+
+def _state(cells, pos, seed=0):
+    cells = jnp.asarray(cells, dtype=jnp.int32)
+    return WildfireState(
+        cells=cells,
+        agent_pos=jnp.asarray(pos, dtype=jnp.int32),
+        step_count=jnp.int32(0),
+        extinguished=jnp.int32(0),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def test_wildfire_rollout():
+    env = gym.make("multigrid-wildfire-v0")
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (16, 16, 3) and obs.dtype == np.uint8
+    assert info["burning"] >= 1
+    total_r = 0.0
+    for _ in range(120):
+        obs, r, term, trunc, info = env.step(env.action_space.sample())
+        total_r += float(np.sum(r))
+        if term or trunc:
+            break
+    assert term or trunc
+    if term:
+        assert info["burning"] == 0
+    env.unwrapped.render()
+
+
+def test_extinguish_semantics():
+    cfg = WildfireConfig(size=5, num_agents=1, agents_index=(4,), p_spread=0.0, p_burnout=0.0)
+    fns = make_wildfire(cfg)
+    cells = np.zeros((5, 5), dtype=int)
+    cells[2, 3] = FIRE  # (y=2, x=3)
+    st = _state(cells, [[2, 2]])  # agent at x=2, y=2
+    # Move right onto the fire -> extinguished, +ext_reward.
+    st2, obs, r, term, trunc, info = fns.step_fn(st, jnp.asarray([3]))
+    assert np.asarray(st2.cells)[2, 3] == BURNT
+    assert float(np.sum(r)) == pytest.approx(cfg.ext_reward)
+    assert bool(term)  # no fire left
+    assert int(info["extinguished"]) == 1
+
+
+def test_spread_deterministic_limits():
+    # p_spread=1: every tree adjacent to fire ignites; p_spread=0: none.
+    for p, expect in [(1.0, FIRE), (0.0, TREE)]:
+        cfg = WildfireConfig(size=5, num_agents=1, agents_index=(4,), p_spread=p, p_burnout=0.0)
+        fns = make_wildfire(cfg)
+        cells = np.full((5, 5), TREE, dtype=int)
+        cells[2, 2] = FIRE
+        st = _state(cells, [[0, 0]])
+        st2, *_ = fns.step_fn(st, jnp.asarray([0]))
+        c2 = np.asarray(st2.cells)
+        for (y, x) in [(1, 2), (3, 2), (2, 1), (2, 3)]:
+            assert c2[y, x] == expect, (p, y, x)
+        # diagonal never ignites in one step
+        assert c2[1, 1] == TREE
+        # fire persists (no burnout)
+        assert c2[2, 2] == FIRE
+
+
+def test_no_toroidal_spread():
+    cfg = WildfireConfig(size=4, num_agents=1, agents_index=(4,), p_spread=1.0, p_burnout=0.0)
+    fns = make_wildfire(cfg)
+    cells = np.full((4, 4), TREE, dtype=int)
+    cells[0, 0] = FIRE
+    st = _state(cells, [[2, 2]])
+    st2, *_ = fns.step_fn(st, jnp.asarray([0]))
+    c2 = np.asarray(st2.cells)
+    # opposite edges must NOT ignite from wrap-around
+    assert c2[3, 0] == TREE and c2[0, 3] == TREE
+    assert c2[1, 0] == FIRE and c2[0, 1] == FIRE
+
+
+def test_burnout():
+    cfg = WildfireConfig(size=3, num_agents=1, agents_index=(4,), p_spread=0.0, p_burnout=1.0)
+    fns = make_wildfire(cfg)
+    cells = np.zeros((3, 3), dtype=int)
+    cells[1, 1] = FIRE
+    st = _state(cells, [[0, 0]])
+    st2, obs, r, term, trunc, info = fns.step_fn(st, jnp.asarray([0]))
+    assert np.asarray(st2.cells)[1, 1] == BURNT
+    assert bool(term)
+
+
+def test_agents_block_each_other():
+    cfg = WildfireConfig(size=4, num_agents=2, agents_index=(4, 5), p_spread=0.0, p_burnout=0.0)
+    fns = make_wildfire(cfg)
+    st = _state(np.zeros((4, 4), dtype=int), [[1, 1], [2, 1]])
+    st2, *_ = fns.step_fn(st, jnp.asarray([3, 0]))  # agent0 right into agent1
+    np.testing.assert_array_equal(np.asarray(st2.pos if hasattr(st2,'pos') else st2.agent_pos)[0], [1, 1])
