@@ -113,3 +113,52 @@ def make_collect_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEn
         num_envs=num_envs,
         auto_reset=auto_reset,
     )
+
+
+def make_ctf_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
+    """Batched CtF with in-graph scripted red policies; actions are the blue
+    team's, shape (num_envs, num_blue)."""
+    from gym_multigrid_tpu.envs.ctf import make_ctf
+
+    fns = make_ctf(cfg)
+
+    def step_one(state, blue_actions):
+        return fns.step_fn(state, blue_actions)
+
+    return BatchedEnv(
+        reset_one=fns.reset_fn,
+        step_one=step_one,
+        encode_one=fns.obs_fn,
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+    )
+
+
+def make_maze_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
+    from gym_multigrid_tpu.envs.maze import make_maze
+
+    fns = make_maze(cfg)
+
+    def step_one(state, action):
+        return fns.step_fn(state, action.reshape(()))
+
+    return BatchedEnv(
+        reset_one=fns.reset_fn,
+        step_one=step_one,
+        encode_one=fns.obs_fn,
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+    )
+
+
+def make_wildfire_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
+    from gym_multigrid_tpu.envs.wildfire import make_wildfire
+
+    fns = make_wildfire(cfg)
+    return BatchedEnv(
+        reset_one=fns.reset_fn,
+        step_one=fns.step_fn,
+        encode_one=fns.encode_fn,
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+    )
