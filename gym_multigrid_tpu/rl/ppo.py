@@ -67,12 +67,15 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
             logits, value = net.apply(params, obs)
             actions, logp = sample_actions(k_act, logits)
             states, _, rewards, term, trunc = env.step(states, actions)
+            # Per-agent rewards (B, A) sum to a team reward; scalar team
+            # rewards (B,) — e.g. CtF — pass through.
+            team_reward = rewards.sum(axis=-1) if rewards.ndim > 1 else rewards
             tr = Transition(
                 obs=obs,
                 actions=actions,
                 logp=logp,
                 value=value,
-                reward=rewards.sum(axis=-1),
+                reward=team_reward,
                 done=(term | trunc).astype(jnp.float32),
             )
             return (states, key), tr

@@ -1,0 +1,120 @@
+"""PPO training on CtF MvN — TPU-native replacement for the reference's SB3
+script (reference scripts/main_mvn_ctf_rl.py).
+
+Differences by design: instead of one Python env + torch PPO, the rollout is
+a vmapped in-graph batch of CtF envs with the scripted red team compiled
+into the step, and the learner is the fully jitted flax/optax PPO
+(gym_multigrid_tpu/rl/ppo.py) — one XLA program per iteration.  On a
+multi-chip mesh the env batch shards over 'data' (see __graft_entry__).
+
+Usage:
+  python scripts/train_mvn_ctf_rl.py [--iters N] [--envs B] [--map PATH]
+
+Artifacts (mirroring the reference script): model checkpoint at
+out/models/ctf_ppo.npz (resumed if present), rollout gif at
+out/animations/ctf_ppo.gif, scalar logs printed per iteration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--envs", type=int, default=512)
+    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--map", default="tests/assets/board.txt")
+    p.add_argument("--out", default="out")
+    p.add_argument("--cpu", action="store_true", help="force CPU platform")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+    from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+    from gym_multigrid_tpu.rl.networks import ActorCritic
+    from gym_multigrid_tpu.rl.ppo import PPOConfig, make_ppo
+    from gym_multigrid_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    cfg = CtfConfig.from_map_path(
+        args.map,
+        num_blue_agents=2,
+        num_red_agents=2,
+        variant="mvn",
+        enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
+        observation_option="flattened",
+    )
+    env = make_ctf_batch(cfg, args.envs, auto_reset=True)
+    net = ActorCritic(num_actions=5, num_agents=cfg.num_blue_agents)
+    ppo_cfg = PPOConfig(rollout_len=args.rollout_len, num_epochs=2)
+    init_fn, train_step = make_ppo(env, net, ppo_cfg)
+
+    params, opt_state, states = init_fn(jax.random.PRNGKey(0))
+    model_path = os.path.join(args.out, "models", "ctf_ppo")
+    if os.path.exists(model_path + ".npz"):
+        params = load_pytree(model_path)
+        print(f"resumed params from {model_path}.npz")
+
+    step = jax.jit(train_step, donate_argnums=(1, 2))
+    key = jax.random.PRNGKey(1)
+    env_steps_per_iter = args.envs * args.rollout_len
+    t0 = time.perf_counter()
+    for it in range(args.iters):
+        params, opt_state, states, key, metrics = step(
+            params, opt_state, states, key
+        )
+        if it % 10 == 0 or it == args.iters - 1:
+            jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - t0
+            sps = env_steps_per_iter * (it + 1) / dt
+            print(
+                f"iter {it:4d}  loss {float(metrics['loss']):+.4f}  "
+                f"reward/step {float(metrics['reward_per_step']):+.4f}  "
+                f"entropy {float(metrics['entropy']):.3f}  "
+                f"env-steps/s {sps:,.0f}"
+            )
+
+    save_pytree(model_path, params)
+    print(f"saved params to {model_path}.npz")
+
+    # Greedy rollout gif through the reference-compatible adapter.
+    from gym_multigrid_tpu.envs import CtFMvNEnv
+
+    genv = CtFMvNEnv(
+        num_blue_agents=2,
+        num_red_agents=2,
+        map_path=args.map,
+        render_mode="rgb_array",
+        observation_option="flattened",
+    )
+    obs, _ = genv.reset(seed=0)
+    apply = jax.jit(net.apply)
+    frames = [genv.render()]
+    while True:
+        logits, _ = apply(params, np.asarray(obs, dtype=np.float32)[None])
+        actions = np.argmax(np.asarray(logits)[0], axis=-1)
+        obs, reward, terminated, truncated, info = genv.step(actions)
+        frames.append(genv.render())
+        if terminated or truncated:
+            break
+
+    import imageio
+
+    os.makedirs(os.path.join(args.out, "animations"), exist_ok=True)
+    gif = os.path.join(args.out, "animations", "ctf_ppo.gif")
+    imageio.mimsave(gif, frames, fps=5)
+    print(f"saved rollout to {gif}")
+
+
+if __name__ == "__main__":
+    main()
