@@ -12,10 +12,19 @@ vs_baseline is relative to the measured reference throughput on 1 CPU core
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+# Persistent compilation cache: compile times over the remote-compile TPU
+# tunnel dominate wall time; cached executables make re-runs near-instant.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp  # noqa: E402
 
 from gym_multigrid_tpu.envs.collect import CollectConfig
 from gym_multigrid_tpu.parallel.vector import make_collect_batch
@@ -27,7 +36,11 @@ STEPS_PER_CALL = 256
 
 def main():
     cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=50)
-    env = make_collect_batch(cfg, BATCH, auto_reset=True)
+    # The fused Pallas step (ops/pallas_collect.py) needs real TPU hardware;
+    # anywhere else fall back to the plain XLA path (interpret mode would
+    # crawl at this batch size).
+    use_pallas = jax.default_backend() not in ("cpu",)
+    env = make_collect_batch(cfg, BATCH, auto_reset=True, use_pallas=use_pallas)
 
     @jax.jit
     def init(key):

@@ -16,7 +16,10 @@ Semantics preserved exactly (per-cell transition, reward, termination):
   cells of the respawn rect *before* the agent moves in — so the vacated
   ball cell is a legal respawn target but the agent's pre-move cell is not
   (reference order collect_game.py:132-147: grid.set(None) -> _respawn ->
-  move).
+  move).  Faithful quirk: if the respawn lands on that vacated cell, the
+  agent's subsequent move overwrites the new ball and the board permanently
+  loses one ball, exactly like the reference (collect_game.py:169-176 sets
+  the agent unconditionally after _handle_pickup).
 * Reward += ball.reward flat, no decay (collect_game.py:121-127).
 * terminated iff (not respawn) and collected == num_balls
   (collect_game.py:208-209); truncated at max_steps (210-211).
@@ -485,3 +488,21 @@ def cached_collect(cfg: CollectConfig):
     """Memoized (reset, step, encode) with jit applied."""
     reset_fn, step_fn, encode_fn = make_collect(cfg)
     return jax.jit(reset_fn), jax.jit(step_fn), jax.jit(encode_fn)
+
+
+def __getattr__(name):
+    # Import-path parity with the reference
+    # (gym_multigrid/envs/collect_game.py defines the Env classes).
+    _adapter_classes = (
+        "CollectGameEnv",
+        "CollectGameEvenDist",
+        "CollectGameQuadrants",
+        "CollectGameRooms",
+        "CollectGameRoomsFixedHorizon",
+        "CollectGameQuadrantsRespawn",
+    )
+    if name in _adapter_classes:
+        from gym_multigrid_tpu.adapters import gym_adapter
+
+        return getattr(gym_adapter, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

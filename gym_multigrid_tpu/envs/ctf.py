@@ -682,3 +682,14 @@ def cached_ctf(cfg: CtfConfig) -> CtfFns:
         obs_fn=jax.jit(fns.obs_fn),
         info_fn=jax.jit(fns.info_fn),
     )
+
+
+def __getattr__(name):
+    # Import-path parity with the reference (gym_multigrid/envs/ctf.py
+    # defines the Env classes in this module); lazy to avoid a circular
+    # import with the adapter layer.
+    if name in ("Ctf1v1Env", "CtFMvNEnv"):
+        from gym_multigrid_tpu.adapters import ctf_adapter
+
+        return getattr(ctf_adapter, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

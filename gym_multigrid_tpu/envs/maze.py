@@ -203,3 +203,12 @@ def cached_maze(cfg: MazeConfig) -> MazeFns:
         obs_fn=jax.jit(fns.obs_fn),
         info_fn=jax.jit(fns.info_fn),
     )
+
+
+def __getattr__(name):
+    # Import-path parity with the reference (gym_multigrid/envs/maze.py).
+    if name == "MazeSingleAgentEnv":
+        from gym_multigrid_tpu.adapters.maze_adapter import MazeSingleAgentEnv
+
+        return MazeSingleAgentEnv
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

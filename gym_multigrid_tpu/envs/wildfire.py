@@ -230,3 +230,11 @@ def cached_wildfire(cfg: WildfireConfig) -> WildfireFns:
         step_fn=jax.jit(fns.step_fn),
         encode_fn=jax.jit(fns.encode_fn),
     )
+
+
+def __getattr__(name):
+    if name == "WildfireEnv":
+        from gym_multigrid_tpu.adapters.wildfire_adapter import WildfireEnv
+
+        return WildfireEnv
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

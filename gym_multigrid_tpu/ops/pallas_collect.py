@@ -1,0 +1,358 @@
+"""Fused Pallas kernel for the Collect step (the benchmark hot path).
+
+The plain-XLA step lowers to dozens of small fused loops per agent
+(gather, pickup, respawn cumsum, scatter), each a round-trip over the
+(B, cells) planes; at batch 8192 the step is launch/dependency bound, not
+bandwidth bound.  This kernel executes the WHOLE transition — both agents'
+sequential moves, pickup, partition-aware respawn — in one VMEM-resident
+pass per batch block: the planes are loaded once, all intermediate arrays
+live in registers/VMEM, and one store writes the result.
+
+Design:
+
+* The batch is the grid axis: each program instance owns a (BLK, cells)
+  slab of the object/color planes plus the per-env scalar rows.
+* All randomness is drawn OUTSIDE the kernel with jax.random (3 uniforms
+  per env per step) and passed in — the kernel is a deterministic function
+  of its inputs, so ``_step_math`` doubles as a pure-jax reference spec and
+  the kernel is bit-compared against it in tests (tests/test_pallas.py).
+* Distribution parity with envs/collect.py is exact: the move order of two
+  agents is a fair coin, and ``floor(u * count)`` over the masked prefix sum
+  is uniform over empty cells — the same distributions the reference's
+  rejection sampling induces (SURVEY.md §2.3).
+
+Supported: n_agents in (1, 2) (every shipped Collect config).  Other agent
+counts fall back to the standard XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 512  # envs per program instance
+
+
+class _Tables(NamedTuple):
+    """Static per-config tables (hashable, closed over by the kernel)."""
+
+    width: int
+    height: int
+    n_cells: int
+    empty: int
+    ball: int
+    agent: int
+    agent_colors: tuple[int, ...]
+    respawn: bool
+    respawn_rects: tuple[tuple[bool, ...], ...]  # (n_colors, n_cells)
+    action_dx: tuple[int, ...]
+    action_dy: tuple[int, ...]
+
+
+def _step_math(t: _Tables, go, gc, pos, acts, rnd, rects=None, tril=None):
+    """One Collect transition for a (B, cells) slab.
+
+    go/gc:  (B, C) int32 object/color planes
+    pos:    (B, 2*n_agents) int32 [a0x, a0y, a1x, a1y, ...]
+    acts:   (B, n_agents) int32
+    rnd:    (B, 3) float32 uniforms [move-order, spawn_slot0, spawn_slot1]
+    rects:  (n_colors, C) bool respawn partitions (required iff t.respawn;
+            passed explicitly so the kernel has no captured constants)
+    tril:   (C, C) float32 lower-triangular ones — prefix sums run as one
+            MXU matmul (Pallas TPU has no cumsum lowering; counts <= C are
+            exact in f32)
+
+    Returns (go, gc, pos, picked) with picked: (B, n_agents) int32 — the
+    color id of the ball agent i picked up this step, or -1.
+    """
+    B, C = go.shape
+    n_agents = acts.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    w = t.width
+
+    # Move order: for 2 agents a fair coin; 1 agent trivial.
+    if n_agents == 2:
+        first = (rnd[:, 0:1] < 0.5).astype(jnp.int32)  # (B,1): 0 or 1
+    else:
+        first = jnp.zeros((B, 1), dtype=jnp.int32)
+
+    picked = [jnp.full((B, 1), -1, dtype=jnp.int32) for _ in range(n_agents)]
+    pos_cols = [pos[:, 2 * i : 2 * i + 2] for i in range(n_agents)]
+
+    agent_colors = np.array(t.agent_colors, dtype=np.int32)
+
+    for slot in range(n_agents):
+        # The slot-th mover: agent id varies per row (first or 1-first).
+        if n_agents == 2:
+            i_vec = jnp.where(slot == 0, first, 1 - first)  # (B,1)
+            sel = (i_vec == 1).astype(jnp.int32)
+
+            def pick(a, b):  # per-row select between agent0/agent1 values
+                return jnp.where(i_vec == 0, a, b)
+
+            act = pick(acts[:, 0:1], acts[:, 1:2])
+            px = pick(pos_cols[0][:, 0:1], pos_cols[1][:, 0:1])
+            py = pick(pos_cols[0][:, 1:2], pos_cols[1][:, 1:2])
+            my_color = jnp.where(
+                i_vec == 0,
+                jnp.int32(agent_colors[0]),
+                jnp.int32(agent_colors[1 % len(agent_colors)]),
+            )
+        else:
+            i_vec = jnp.zeros((B, 1), jnp.int32)
+            act = acts[:, 0:1]
+            px = pos_cols[0][:, 0:1]
+            py = pos_cols[0][:, 1:2]
+            my_color = jnp.int32(agent_colors[0])
+
+        # Invalid ids are a no-op (reference falls through its if/elif
+        # chain).  The 4-entry action table is expanded to arithmetic
+        # selects — a dynamic gather over a tiny table doesn't vectorize.
+        valid = (act >= 0) & (act < 4)
+        dx = jnp.zeros_like(act)
+        dy = jnp.zeros_like(act)
+        for a in range(4):
+            m = valid & (act == a)
+            dx = jnp.where(m, int(t.action_dx[a]), dx)
+            dy = jnp.where(m, int(t.action_dy[a]), dy)
+        nx = jnp.clip(px + dx, 0, t.width - 1)
+        ny = jnp.clip(py + dy, 0, t.height - 1)
+        nidx = ny * w + nx  # (B,1)
+        oidx = py * w + px
+        hit_n = lane == nidx  # (B,C)
+        hit_o = lane == oidx
+
+        cell = jnp.sum(jnp.where(hit_n, go, 0), axis=1, keepdims=True)
+        is_ball = cell == t.ball
+        do_move = is_ball | (cell == t.empty)
+        ball_color = jnp.sum(jnp.where(hit_n, gc, 0), axis=1, keepdims=True)
+
+        # pickup: clear the ball cell (collect_game.py:140)
+        go = jnp.where(hit_n & is_ball, t.empty, go)
+        gc = jnp.where(hit_n & is_ball, 0, gc)
+
+        if t.respawn:
+            # respawn BEFORE the agent moves in (collect_game.py:129-144):
+            # uniform over empty cells of the picked color's partition.
+            n_colors = rects.shape[0]
+            bc = jnp.clip(ball_color, 0, n_colors - 1)
+            rect = jnp.zeros((B, C), dtype=jnp.bool_)
+            for c in range(n_colors):
+                rect = rect | ((bc == c) & rects[c][None, :])
+            mask = rect & (go == t.empty)
+            mi = mask.astype(jnp.int32)
+            count = jnp.sum(mi, axis=1, keepdims=True)
+            u = rnd[:, 1 + slot : 2 + slot]
+            r = jnp.minimum(
+                (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
+            )
+            cum = jnp.dot(
+                mi.astype(jnp.float32),
+                tril,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            hit_r = (cum == r + 1) & mask
+            go = jnp.where(hit_r & is_ball, t.ball, go)
+            gc = jnp.where(hit_r & is_ball, ball_color, gc)
+
+        # move (collect_game.py:174-181)
+        go = jnp.where(hit_n & do_move, t.agent, go)
+        gc = jnp.where(hit_n & do_move, my_color, gc)
+        go = jnp.where(hit_o & do_move, t.empty, go)
+        gc = jnp.where(hit_o & do_move, 0, gc)
+
+        new_px = jnp.where(do_move, nx, px)
+        new_py = jnp.where(do_move, ny, py)
+        picked_here = jnp.where(is_ball, ball_color, -1)
+
+        if n_agents == 2:
+            pos_cols[0] = jnp.where(
+                i_vec == 0,
+                jnp.concatenate([new_px, new_py], axis=1),
+                pos_cols[0],
+            )
+            pos_cols[1] = jnp.where(
+                i_vec == 1,
+                jnp.concatenate([new_px, new_py], axis=1),
+                pos_cols[1],
+            )
+            picked[0] = jnp.where(i_vec == 0, picked_here, picked[0])
+            picked[1] = jnp.where(i_vec == 1, picked_here, picked[1])
+        else:
+            pos_cols[0] = jnp.concatenate([new_px, new_py], axis=1)
+            picked[0] = picked_here
+
+    pos_out = jnp.concatenate(pos_cols, axis=1)
+    picked_out = jnp.concatenate(picked, axis=1)
+    return go, gc, pos_out, picked_out
+
+
+def make_tables(cfg) -> _Tables:
+    """Build the static tables from a CollectConfig."""
+    from gym_multigrid_tpu.core.constants import COLLECT_ACTION_TO_VEC
+    from gym_multigrid_tpu.core.world import CollectWorld
+    from gym_multigrid_tpu.envs.collect import build_plan
+
+    plan = build_plan(cfg)
+    idx = CollectWorld.OBJECT_TO_IDX
+    return _Tables(
+        width=cfg.width,
+        height=cfg.height,
+        n_cells=cfg.num_cells,
+        empty=idx["empty"],
+        ball=idx["ball"],
+        agent=idx["agent"],
+        agent_colors=tuple(int(c) for c in cfg.agents_index),
+        respawn=cfg.respawn,
+        respawn_rects=tuple(
+            tuple(bool(b) for b in row) for row in plan.respawn_rects
+        ),
+        action_dx=tuple(int(v[0]) for v in COLLECT_ACTION_TO_VEC),
+        action_dy=tuple(int(v[1]) for v in COLLECT_ACTION_TO_VEC),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def collect_step_slab(t: _Tables, go, gc, pos, acts, rnd, interpret=False):
+    """Run the fused step over a full (B, C) batch via pallas_call."""
+    B, C = go.shape
+    n_agents = acts.shape[1]
+    blk = min(BLK, B)
+    grid = (pl.cdiv(B, blk),)
+    rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
+    n_colors = rects.shape[0]
+    # cum[:, j] = sum_{k <= j} m[:, k]  <=>  m @ tril with tril[k, j] = k<=j
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+
+    def kernel(go_ref, gc_ref, pos_ref, acts_ref, rnd_ref, rects_ref,
+               tril_ref, go_out, gc_out, pos_out, picked_out):
+        o, c, p, k = _step_math(
+            t, go_ref[:], gc_ref[:], pos_ref[:], acts_ref[:], rnd_ref[:],
+            rects_ref[:], tril_ref[:],
+        )
+        go_out[:] = o
+        gc_out[:] = c
+        pos_out[:] = p
+        picked_out[:] = k
+
+    def row_spec(cols):
+        return pl.BlockSpec(
+            (blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(C),
+            row_spec(C),
+            row_spec(2 * n_agents),
+            row_spec(n_agents),
+            row_spec(3),
+            # static tables: same block for every program instance
+            pl.BlockSpec(
+                (n_colors, C), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            row_spec(C),
+            row_spec(C),
+            row_spec(2 * n_agents),
+            row_spec(n_agents),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, 2 * n_agents), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_agents), jnp.int32),
+        ],
+        interpret=interpret,
+    )(go, gc, pos, acts, rnd, rects, tril)
+
+
+def make_collect_step_batch(cfg, interpret: bool | None = None):
+    """Batch-level Collect step using the fused kernel.
+
+    Returns step_batch(states, actions) with the same contract as
+    vmap(step_one): (states', obs, rewards, term, trunc, info).  ``states``
+    leaves carry a leading batch axis.  Falls back to None when the config
+    is outside the kernel's envelope (the caller then uses the XLA path).
+    """
+    from gym_multigrid_tpu.envs.collect import CollectState, make_collect
+
+    if cfg.num_agents not in (1, 2):
+        return None
+    t = make_tables(cfg)
+    if interpret is None:
+        # Mosaic lowering needs real TPU hardware; interpret elsewhere.
+        interpret = jax.default_backend() == "cpu"
+    _, _, encode_one = make_collect(cfg)
+
+    reward_by_color = np.zeros(len(t.respawn_rects), dtype=np.float32)
+    slot_by_color = np.zeros(len(t.respawn_rects), dtype=np.int32)
+    for s, (c, r) in enumerate(zip(cfg.balls_index, cfg.balls_reward)):
+        reward_by_color[c] = r
+        slot_by_color[c] = min(s, cfg.num_ball_types - 1)
+    if cfg.layout == "quadrants_respawn":
+        for c in range(min(3, len(reward_by_color))):
+            reward_by_color[c] = cfg.balls_reward[c]
+            slot_by_color[c] = c
+    reward_by_color = jnp.asarray(reward_by_color)
+    slot_by_color = jnp.asarray(slot_by_color)
+
+    def step_batch(states: CollectState, actions: jax.Array):
+        B = states.grid_obj.shape[0]
+        keys = jax.vmap(jax.random.split)(states.key)
+        new_key, k_rnd = keys[:, 0], keys[:, 1]
+        rnd = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(k_rnd)
+
+        pos = states.agent_pos.reshape(B, -1)
+        go, gc, pos, picked = collect_step_slab(
+            t,
+            states.grid_obj,
+            states.grid_color,
+            pos,
+            actions.astype(jnp.int32),
+            rnd,
+            interpret,
+        )
+
+        got_ball = picked >= 0  # (B, A)
+        pc = jnp.clip(picked, 0, reward_by_color.shape[0] - 1)
+        rewards = jnp.where(got_ball, reward_by_color[pc], 0.0)
+        n_picked = jnp.sum(got_ball.astype(jnp.int32), axis=1)
+        collected = states.collected + n_picked
+        # info counters: one-hot (agent, slot) bumps
+        slots = slot_by_color[pc]  # (B, A)
+        bump = jax.nn.one_hot(
+            slots, cfg.num_ball_types, dtype=jnp.int32
+        ) * got_ball[..., None].astype(jnp.int32)
+        info_counts = states.info_counts + bump
+
+        step_count = states.step_count + 1
+        if cfg.respawn or cfg.fixed_horizon:
+            terminated = jnp.zeros((B,), dtype=bool)
+        else:
+            terminated = collected == cfg.num_balls
+        truncated = step_count >= cfg.max_steps
+
+        new_states = CollectState(
+            grid_obj=go,
+            grid_color=gc,
+            agent_pos=pos.reshape(B, -1, 2),
+            collected=collected,
+            step_count=step_count,
+            info_counts=info_counts,
+            key=new_key,
+        )
+        obs = jax.vmap(encode_one)(new_states)
+        return new_states, obs, rewards, terminated, truncated, info_counts
+
+    return step_batch

@@ -44,6 +44,9 @@ class BatchedEnv:
     encode_one: Callable
     num_envs: int
     auto_reset: bool = True
+    # Optional whole-batch transition (e.g. a fused Pallas kernel); used
+    # instead of vmap(step_one) when provided.  Same contract per env.
+    step_batch: Callable | None = None
 
     def reset(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs)
@@ -52,16 +55,30 @@ class BatchedEnv:
         return states, obs
 
     def step(self, states, actions):
-        new_states, obs, rewards, term, trunc, info = jax.vmap(self.step_one)(
-            states, actions
-        )
+        if self.step_batch is not None:
+            new_states, obs, rewards, term, trunc, info = self.step_batch(
+                states, actions
+            )
+        else:
+            new_states, obs, rewards, term, trunc, info = jax.vmap(
+                self.step_one
+            )(states, actions)
         if self.auto_reset:
             done = term | trunc
-            # Each env resets from its own post-step key -> streams stay
-            # independent per env and across resets.
-            reset_keys = jax.vmap(jax.random.split)(new_states.key)
-            fresh = jax.vmap(self.reset_one)(reset_keys[:, 0])
-            new_states = _where_done(done, fresh, new_states)
+
+            # Resetting recomputes the whole placement program for every
+            # env; gate it behind a batch-level cond so the work is skipped
+            # at runtime on the (majority of) steps where no env finished.
+            def do_reset(ns):
+                # Each env resets from its own post-step key -> streams stay
+                # independent per env and across resets.
+                reset_keys = jax.vmap(jax.random.split)(ns.key)
+                fresh = jax.vmap(self.reset_one)(reset_keys[:, 0])
+                return _where_done(done, fresh, ns)
+
+            new_states = jax.lax.cond(
+                jnp.any(done), do_reset, lambda ns: ns, new_states
+            )
         return new_states, obs, rewards, term, trunc
 
     def rollout(
@@ -102,16 +119,24 @@ class BatchedEnv:
         return states, {"reward_sum": ret_sum, "episodes": ep_count}
 
 
-def make_collect_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
+def make_collect_batch(
+    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+) -> BatchedEnv:
     from gym_multigrid_tpu.envs.collect import make_collect
 
     reset_one, step_one, encode_one = make_collect(cfg)
+    step_batch = None
+    if use_pallas:
+        from gym_multigrid_tpu.ops.pallas_collect import make_collect_step_batch
+
+        step_batch = make_collect_step_batch(cfg)
     return BatchedEnv(
         reset_one=reset_one,
         step_one=step_one,
         encode_one=encode_one,
         num_envs=num_envs,
         auto_reset=auto_reset,
+        step_batch=step_batch,
     )
 
 
