@@ -10,6 +10,7 @@ from gym_multigrid_tpu.parallel.mesh import (
     replicated,
     shard_batch_tree,
 )
+from gym_multigrid_tpu.parallel.shard import sharded_rollout
 from gym_multigrid_tpu.parallel.vector import (
     BatchedEnv,
     make_collect_batch,
@@ -32,4 +33,5 @@ __all__ = [
     "replicated",
     "distributed_initialize",
     "fold_in_axis",
+    "sharded_rollout",
 ]

@@ -1,0 +1,73 @@
+"""shard_map rollout: explicit SPMD over the env-batch axis.
+
+GSPMD sharding annotations (parallel/mesh.py) already scale the jitted
+rollout across a mesh; this module is the *explicit-collective* form
+(SURVEY.md §2.4 P3): the rollout body runs per shard under
+``jax.shard_map``, per-shard RNG derives via ``fold_in(axis_index)``, and
+episode metrics reduce with ``psum`` over ICI.  Use it when you want manual
+control over what crosses the interconnect (the per-step env math is
+embarrassingly parallel — only the scalar metric reductions communicate).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gym_multigrid_tpu.parallel.vector import BatchedEnv
+
+
+def sharded_rollout(
+    env: BatchedEnv,
+    mesh: Mesh,
+    axis: str = "data",
+    num_actions: int = 4,
+    actions_shape: tuple[int, ...] = (2,),
+) -> Callable:
+    """Build rollout_fn(states, key, num_steps) running under shard_map.
+
+    ``states`` must be sharded over ``axis`` on its leading dim (see
+    mesh.shard_batch_tree); ``key`` is replicated — each shard folds in its
+    axis index so streams are independent.  Returns (states', metrics) with
+    metrics psum-reduced across shards (identical on every shard).
+    """
+    n_shards = mesh.shape[axis]
+    assert env.num_envs % n_shards == 0
+    local_envs = env.num_envs // n_shards
+    local_env = BatchedEnv(
+        reset_one=env.reset_one,
+        step_one=env.step_one,
+        encode_one=env.encode_one,
+        num_envs=local_envs,
+        auto_reset=env.auto_reset,
+        step_batch=env.step_batch,
+    )
+
+    def rollout_fn(states, key, num_steps: int):
+        def body(states, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            states, metrics = local_env.rollout(
+                states,
+                key,
+                num_steps,
+                num_actions=num_actions,
+                actions_shape=actions_shape,
+            )
+            # Cross-shard scalar reductions ride the interconnect; the env
+            # math itself never communicates.
+            metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
+            return states, metrics
+
+        state_spec = jax.tree_util.tree_map(lambda _: P(axis), states)
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(state_spec, P()),
+            out_specs=(state_spec, P()),
+            check_vma=False,
+        )(states, key)
+
+    return rollout_fn
