@@ -31,7 +31,9 @@ from gym_multigrid_tpu.parallel.vector import make_collect_batch
 
 REFERENCE_AGENT_STEPS_PER_SEC = 9_400.0  # measured on the reference, 1 CPU core
 BATCH = 8192
-STEPS_PER_CALL = 256
+# Multiple of max_steps=50 so lockstep episodes align with the fused
+# multi-step kernel's episode boundaries.
+STEPS_PER_CALL = 250
 
 
 def main():
@@ -47,11 +49,22 @@ def main():
         states, _ = env.reset(key)
         return states
 
-    @jax.jit
-    def run(states, key):
-        return env.rollout(
-            states, key, STEPS_PER_CALL, num_actions=4, actions_shape=(2,)
+    if use_pallas:
+        # Fused multi-step episode kernel: K env steps per launch with bulk
+        # pre-drawn randomness (ops/pallas_collect.py).
+        from gym_multigrid_tpu.ops.pallas_collect import (
+            make_collect_episode_rollout,
         )
+
+        rollout = make_collect_episode_rollout(cfg)
+        run = jax.jit(lambda s, k: rollout(s, k, STEPS_PER_CALL))
+    else:
+
+        @jax.jit
+        def run(states, key):
+            return env.rollout(
+                states, key, STEPS_PER_CALL, num_actions=4, actions_shape=(2,)
+            )
 
     key = jax.random.PRNGKey(0)
     states = init(key)

@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 512  # envs per program instance
+BLK = 512  # envs per program instance (single-step kernel)
+MS_BLK = 128  # envs per program instance (multi-step kernel)
 
 
 class _Tables(NamedTuple):
@@ -356,3 +357,219 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
         return new_states, obs, rewards, terminated, truncated, info_counts
 
     return step_batch
+
+
+# ---------------------------------------------------------------------------
+# Multi-step episode kernel
+# ---------------------------------------------------------------------------
+
+
+def _reward_tables(cfg):
+    import numpy as np
+
+    n_colors = max(3, max(cfg.balls_index) + 1)
+    reward_by_color = np.zeros(n_colors, dtype=np.float32)
+    slot_by_color = np.zeros(n_colors, dtype=np.int32)
+    for s, (c, r) in enumerate(zip(cfg.balls_index, cfg.balls_reward)):
+        reward_by_color[c] = r
+        slot_by_color[c] = min(s, cfg.num_ball_types - 1)
+    if cfg.layout == "quadrants_respawn":
+        for c in range(min(3, n_colors)):
+            reward_by_color[c] = cfg.balls_reward[c]
+            slot_by_color[c] = c
+    return reward_by_color, slot_by_color
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def collect_multistep_slab(t, go, gc, pos, acts_rnd, K, reward_slot, interpret=False):
+    """K fused env steps per kernel launch.
+
+    acts_rnd: (B, K*(A+3)) — per step A int32 actions (as float-cast ints)
+    then 3 uniforms, packed so a single 2D ref feeds the kernel.  Outputs:
+    final planes/pos plus per-env accumulated rewards (B, A) and pickup
+    counters (B, A*num_ball_types).  The K-step loop is unrolled at trace
+    time (static column slices; Mosaic dislikes tiny-lane 3D blocks).
+    """
+    B, C = go.shape
+    A = pos.shape[1] // 2
+    n_types = len(reward_slot[1])
+    # Smaller slab than the single-step kernel: the unrolled K-step body
+    # keeps more live VMEM per row (chunk=10 at 512 rows OOMs the 16MB
+    # scoped budget); launches amortize over K so small blocks stay fast.
+    blk = min(MS_BLK, B)
+    grid = (pl.cdiv(B, blk),)
+    rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
+    n_colors = rects.shape[0]
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    rwd_tab, slot_tab = reward_slot
+
+    def kernel(go_ref, gc_ref, pos_ref, ar_ref, rects_ref, tril_ref,
+               go_out, gc_out, pos_out, rew_out, cnt_out):
+        go_k, gc_k, pos_k = go_ref[:], gc_ref[:], pos_ref[:]
+        ar = ar_ref[:]
+        rew = jnp.zeros((go_k.shape[0], A), dtype=jnp.float32)
+        cnt = jnp.zeros((go_k.shape[0], A * n_types), dtype=jnp.int32)
+        for k in range(K):
+            base = k * (A + 3)
+            acts = ar[:, base : base + A].astype(jnp.int32)
+            rnd = ar[:, base + A : base + A + 3]
+            go_k, gc_k, pos_k, picked = _step_math(
+                t, go_k, gc_k, pos_k, acts, rnd, rects_ref[:], tril_ref[:]
+            )
+            got = picked >= 0
+            cnt_lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, A * n_types), 1
+            )
+            for color in range(n_colors):
+                hit = got & (picked == color)
+                rew = rew + jnp.where(hit, float(rwd_tab[color]), 0.0)
+                slot = int(slot_tab[color])
+                for a in range(A):
+                    # static-column add via iota mask (scatter-add has no
+                    # Mosaic lowering)
+                    col = a * n_types + slot
+                    cnt = cnt + jnp.where(
+                        cnt_lane == col, hit[:, a : a + 1].astype(jnp.int32), 0
+                    )
+        go_out[:] = go_k
+        gc_out[:] = gc_k
+        pos_out[:] = pos_k
+        rew_out[:] = rew
+        cnt_out[:] = cnt
+
+    def row_spec(cols):
+        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(C),
+            row_spec(C),
+            row_spec(2 * A),
+            row_spec(K * (A + 3)),
+            pl.BlockSpec((n_colors, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            row_spec(C),
+            row_spec(C),
+            row_spec(2 * A),
+            row_spec(A),
+            row_spec(A * n_types),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, 2 * A), jnp.int32),
+            jax.ShapeDtypeStruct((B, A), jnp.float32),
+            jax.ShapeDtypeStruct((B, A * n_types), jnp.int32),
+        ],
+        interpret=interpret,
+    )(go, gc, pos, acts_rnd, rects, tril)
+
+
+def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
+    """Whole-episode rollout driver for truncation-only Collect configs.
+
+    Returns rollout(states, key, num_steps) -> (states', metrics) matching
+    BatchedEnv.rollout with uniform-random actions.  Requires a config that
+    never terminates early (respawn or fixed_horizon) so that lockstep envs
+    truncate together; num_steps must be a multiple of max_steps and states
+    must be freshly reset (uniform step_count == 0).  Each max_steps episode
+    runs as ceil(max_steps/chunk) kernel launches with bulk pre-drawn
+    randomness, then all envs reset.
+    """
+    from gym_multigrid_tpu.envs.collect import make_collect
+
+    assert cfg.respawn or cfg.fixed_horizon, "early termination breaks lockstep"
+    if cfg.num_agents not in (1, 2):
+        return None
+    t = make_tables(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    # Mosaic's scoped-VMEM stack grows with the unrolled step count; at
+    # MS_BLK=128 chunks up to ~25 fit, 10 measured fastest (75.9M
+    # agent-steps/s vs 74.3M at 25 on v5e).
+    chunk = chunk or 10
+    reset_one, _, _ = make_collect(cfg)
+    reward_slot = tuple(
+        (tuple(float(x) for x in tab) if i == 0 else tuple(int(x) for x in tab))
+        for i, tab in enumerate(_reward_tables(cfg))
+    )
+    A = cfg.num_agents
+
+    def _one_episode(states, key):
+        """max_steps env steps (chunked kernel launches) + lockstep reset."""
+        B = states.grid_obj.shape[0]
+        reward_sum = jnp.float32(0.0)
+        done = 0
+        while done < cfg.max_steps:
+            K = min(chunk, cfg.max_steps - done)
+            key, k_a, k_r = jax.random.split(key, 3)
+            acts = jax.random.randint(k_a, (B, K, A), 0, 4).astype(jnp.float32)
+            rnd = jax.random.uniform(k_r, (B, K, 3))
+            packed = jnp.concatenate([acts, rnd], axis=2).reshape(
+                B, K * (A + 3)
+            )
+            go, gc, pos, rew, cnt = collect_multistep_slab(
+                t,
+                states.grid_obj,
+                states.grid_color,
+                states.agent_pos.reshape(B, -1),
+                packed,
+                K,
+                reward_slot,
+                interpret,
+            )
+            reward_sum = reward_sum + jnp.sum(rew)
+            states = type(states)(
+                grid_obj=go,
+                grid_color=gc,
+                agent_pos=pos.reshape(B, -1, 2),
+                collected=states.collected
+                + jnp.sum(cnt.reshape(B, A, -1), axis=(1, 2)),
+                step_count=states.step_count + K,
+                info_counts=states.info_counts + cnt.reshape(B, A, -1),
+                key=states.key,
+            )
+            done += K
+        # truncation: every env resets in lockstep
+        reset_keys = jax.vmap(jax.random.split)(states.key)
+        states = jax.vmap(reset_one)(reset_keys[:, 0])
+        return states, reward_sum
+
+    def rollout(states, key, num_steps: int):
+        assert num_steps % cfg.max_steps == 0
+        B = states.grid_obj.shape[0]
+        n_eps = num_steps // cfg.max_steps
+
+        if interpret:
+            # Interpreter-mode kernels under a compiled scan are
+            # pathologically slow; eager episode loop for CPU testing.
+            reward_sum = jnp.float32(0.0)
+            for _ in range(n_eps):
+                key, k_ep = jax.random.split(key)
+                states, r = _one_episode(states, k_ep)
+                reward_sum = reward_sum + r
+            return states, {
+                "reward_sum": reward_sum,
+                "episodes": jnp.int32(B * n_eps),
+            }
+
+        # One episode body in the graph, scanned — keeps compile time flat
+        # in num_steps (inlining every episode's reset program blows up the
+        # HLO otherwise).
+        def body(carry, _):
+            states, key, reward_sum = carry
+            key, k_ep = jax.random.split(key)
+            states, r = _one_episode(states, k_ep)
+            return (states, key, reward_sum + r), None
+
+        (states, key, reward_sum), _ = jax.lax.scan(
+            body, (states, key, jnp.float32(0.0)), None, length=n_eps
+        )
+        episodes = jnp.int32(B * n_eps)
+        return states, {"reward_sum": reward_sum, "episodes": episodes}
+
+    return rollout

@@ -113,3 +113,60 @@ def test_even_layout_no_respawn_terminates():
             done_seen = True
             break
     assert done_seen
+
+
+def test_multistep_kernel_matches_repeated_single_steps():
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        _reward_tables,
+        collect_multistep_slab,
+        make_collect_episode_rollout,
+    )
+
+    n, K = 8, 5
+    t = make_tables(CFG)
+    states = _batched_states(CFG, n)
+    pos = states.agent_pos.reshape(n, -1)
+    A = 2
+    key = jax.random.PRNGKey(9)
+    acts = jax.random.randint(key, (n, K, A), 0, 4).astype(jnp.float32)
+    rnd = jax.random.uniform(jax.random.PRNGKey(10), (n, K, 3))
+    packed = jnp.concatenate([acts, rnd], axis=2).reshape(n, K * (A + 3))
+
+    rwd_tab, slot_tab = _reward_tables(CFG)
+    reward_slot = (
+        tuple(float(x) for x in rwd_tab),
+        tuple(int(x) for x in slot_tab),
+    )
+    go, gc, p, rew, cnt = collect_multistep_slab(
+        t, states.grid_obj, states.grid_color, pos, packed, K, reward_slot, True
+    )
+
+    # Reference: K applications of the single-step math.
+    rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
+    C = states.grid_obj.shape[1]
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    go2, gc2, p2 = states.grid_obj, states.grid_color, pos
+    rew2 = np.zeros((n, A), dtype=np.float32)
+    for k in range(K):
+        go2, gc2, p2, picked = _step_math(
+            t, go2, gc2, p2, acts[:, k].astype(jnp.int32), rnd[:, k], rects, tril
+        )
+        pk = np.asarray(picked)
+        for c in range(len(rwd_tab)):
+            rew2 += np.where((pk == c), rwd_tab[c], 0.0)
+
+    np.testing.assert_array_equal(np.asarray(go), np.asarray(go2))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(gc2))
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(rew), rew2)
+
+    # End-to-end episode rollout driver on the batch.
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+    env = make_collect_batch(CFG, n)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    rollout = make_collect_episode_rollout(CFG, chunk=10)
+    states2, metrics = rollout(states, jax.random.PRNGKey(1), CFG.max_steps)
+    assert int(metrics["episodes"]) == n
+    assert np.isfinite(float(metrics["reward_sum"]))
+    assert int(jnp.max(states2.step_count)) == 0  # freshly reset

@@ -83,3 +83,29 @@ def test_rendering_primitives():
     img2 = np.zeros((12, 12, 3))
     fill_coords(img2, lambda x, y: bool(x < 0.5), (5, 5, 5))
     assert (img2[:, :6] == 5).all() and (img2[:, 6:] == 0).all()
+
+
+def test_profiling_utils(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from gym_multigrid_tpu.utils.profiling import (
+        annotate,
+        sol_report,
+        state_nbytes,
+        trace,
+    )
+
+    with trace(str(tmp_path)):
+        with annotate("phase"):
+            jax.block_until_ready(jnp.ones(8) * 2)
+    import os
+
+    assert any(os.scandir(tmp_path))  # xplane trace written
+
+    est = sol_report(
+        env_steps_per_s=8192 * 1000.0, state_bytes=8_190_000, batch_size=8192
+    )
+    # 1000 batched steps/s * 2 * 8.19MB = 16.38GB/s of 819GB/s = 2%
+    assert est.sol_fraction == pytest.approx(0.02, rel=0.01)
+    assert state_nbytes({"a": np.zeros((2, 3), np.float32)}) == 24
