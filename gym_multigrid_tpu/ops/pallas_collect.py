@@ -492,7 +492,7 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
     # MS_BLK=128 chunks up to ~25 fit, 10 measured fastest (75.9M
     # agent-steps/s vs 74.3M at 25 on v5e).
     chunk = chunk or 10
-    reset_one, _, _ = make_collect(cfg)
+    reset_batch = make_collect_reset_batch(cfg, interpret)
     reward_slot = tuple(
         (tuple(float(x) for x in tab) if i == 0 else tuple(int(x) for x in tab))
         for i, tab in enumerate(_reward_tables(cfg))
@@ -534,9 +534,8 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
                 key=states.key,
             )
             done += K
-        # truncation: every env resets in lockstep
-        reset_keys = jax.vmap(jax.random.split)(states.key)
-        states = jax.vmap(reset_one)(reset_keys[:, 0])
+        # truncation: every env resets in lockstep (fused reset kernel)
+        states = reset_batch(states.key)
         return states, reward_sum
 
     def rollout(states, key, num_steps: int):
@@ -573,3 +572,209 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
         return states, {"reward_sum": reward_sum, "episodes": episodes}
 
     return rollout
+
+
+# ---------------------------------------------------------------------------
+# Fused reset kernel
+# ---------------------------------------------------------------------------
+
+
+class _ResetTables(NamedTuple):
+    """Static reset program (from envs/collect.build_plan)."""
+
+    n_cells: int
+    empty: int
+    wall: int
+    ball: int
+    agent: int
+    wall_color: int
+    ball_colors: tuple[int, ...]  # per placement
+    agent_colors: tuple[int, ...]
+    balls_before_agents: bool
+    agent_fixed: tuple[tuple[int, int], ...] | None
+    agent_choice: tuple[tuple[int, int], ...] | None  # static coord pool
+    width: int
+
+
+def make_reset_tables(cfg):
+    from gym_multigrid_tpu.core.constants import COLOR_TO_IDX
+    from gym_multigrid_tpu.core.world import CollectWorld
+    from gym_multigrid_tpu.envs.collect import build_plan
+
+    plan = build_plan(cfg)
+    idx = CollectWorld.OBJECT_TO_IDX
+    rt = _ResetTables(
+        n_cells=cfg.num_cells,
+        empty=idx["empty"],
+        wall=idx["wall"],
+        ball=idx["ball"],
+        agent=idx["agent"],
+        wall_color=COLOR_TO_IDX["grey"],
+        ball_colors=tuple(int(c) for c in plan.ball_colors),
+        agent_colors=tuple(int(c) for c in cfg.agents_index),
+        balls_before_agents=plan.balls_before_agents,
+        agent_fixed=plan.agent_fixed,
+        agent_choice=(
+            tuple((int(x), int(y)) for x, y in plan.agent_choice_coords)
+            if plan.agent_choice_coords is not None
+            else None
+        ),
+        width=cfg.width,
+    )
+    return rt, plan
+
+
+def _masked_pick(mask, u, tril):
+    """Uniform index over the True lanes of (B, C) ``mask`` given one
+    uniform per row: floor(u*count)-th set bit via the tril-matmul prefix
+    sum.  Returns a (B, C) one-hot bool."""
+    mi = mask.astype(jnp.float32)
+    count = jnp.sum(mi, axis=1, keepdims=True)
+    r = jnp.minimum((u * count).astype(jnp.int32), count.astype(jnp.int32) - 1)
+    cum = jnp.dot(mi, tril, preferred_element_type=jnp.float32).astype(jnp.int32)
+    return (cum == r + 1) & mask
+
+
+def _reset_math(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
+    """Sequential placement program for a (B, C) slab.
+
+    wall_row:   (1, C) bool static wall mask (row-broadcast)
+    ball_rects: (n_balls, C) bool placement rects (sequential order)
+    rnd:        (B, n_balls + n_agents) uniforms
+    Returns (go, gc, pos) with pos (B, 2*A).
+    """
+    B = rnd.shape[0]
+    C = rt.n_cells
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    go = jnp.where(wall_row, rt.wall, rt.empty) + jnp.zeros((B, C), jnp.int32)
+    gc = jnp.where(wall_row, rt.wall_color, 0) + jnp.zeros((B, C), jnp.int32)
+    A = len(rt.agent_colors)
+    w = rt.width
+    pos_cols = []
+
+    def place_balls(go, gc, base):
+        for b, color in enumerate(rt.ball_colors):
+            mask = ball_rects[b][None, :] & (go == rt.empty)
+            hit = _masked_pick(mask, rnd[:, base + b : base + b + 1], tril)
+            go = jnp.where(hit, rt.ball, go)
+            gc = jnp.where(hit, int(color), gc)
+        return go, gc
+
+    def place_agents(go, gc, base):
+        cols = []
+        for i, color in enumerate(rt.agent_colors):
+            if rt.agent_fixed is not None:
+                x, y = rt.agent_fixed[i]
+                idx = jnp.full((B, 1), y * w + x, dtype=jnp.int32)
+            elif rt.agent_choice is not None:
+                u = rnd[:, base + i : base + i + 1]
+                n = len(rt.agent_choice)
+                j = jnp.minimum((u * n).astype(jnp.int32), n - 1)
+                idx = jnp.zeros((B, 1), jnp.int32)
+                for k, (x, y) in enumerate(rt.agent_choice):
+                    idx = jnp.where(j == k, y * w + x, idx)
+            else:
+                mask = go == rt.empty
+                hit = _masked_pick(mask, rnd[:, base + i : base + i + 1], tril)
+                idx = jnp.sum(
+                    jnp.where(hit, lane, 0), axis=1, keepdims=True
+                )
+            hit = lane == idx
+            go = jnp.where(hit, rt.agent, go)
+            gc = jnp.where(hit, int(color), gc)
+            cols.append(jnp.concatenate([idx % w, idx // w], axis=1))
+        return go, gc, cols
+
+    nb = len(rt.ball_colors)
+    if rt.balls_before_agents:
+        go, gc = place_balls(go, gc, 0)
+        go, gc, pos_cols = place_agents(go, gc, nb)
+    else:
+        go, gc, pos_cols = place_agents(go, gc, 0)
+        go, gc = place_balls(go, gc, A)
+    return go, gc, jnp.concatenate(pos_cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 5))
+def collect_reset_slab(rt: _ResetTables, rnd, wall_tuple, ball_rects, tril, interpret=False):
+    """Fused whole-board reset for a batch: one kernel, all placements."""
+    B = rnd.shape[0]
+    C = rt.n_cells
+    n_rects = ball_rects.shape[0]
+    wall_row = jnp.asarray(np.array(wall_tuple, dtype=np.bool_))[None, :]
+    blk = min(MS_BLK, B)
+    grid = (pl.cdiv(B, blk),)
+    A = len(rt.agent_colors)
+
+    def kernel(rnd_ref, wall_ref, rects_ref, tril_ref, go_out, gc_out, pos_out):
+        go, gc, pos = _reset_math(
+            rt, wall_ref[:], rects_ref[:], rnd_ref[:], tril_ref[:]
+        )
+        go_out[:] = go
+        gc_out[:] = gc
+        pos_out[:] = pos
+
+    def row_spec(cols):
+        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(rnd.shape[1]),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rects, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec(C), row_spec(C), row_spec(2 * A)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, 2 * A), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rnd, wall_row, ball_rects, tril)
+
+
+def make_collect_reset_batch(cfg, interpret: bool | None = None):
+    """Batch reset via the fused kernel: keys (B,) -> CollectState batch.
+
+    Distribution-identical to vmap(reset_fn): every placement is uniform
+    over the empty cells of its rect, drawn sequentially.
+    """
+    from gym_multigrid_tpu.envs.collect import CollectState, _wall_mask, build_plan
+
+    if cfg.num_agents not in (1, 2):
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    rt, plan = make_reset_tables(cfg)
+    wall_tuple = tuple(bool(b) for b in _wall_mask(cfg))
+    ball_rects_np = plan.ball_rects.copy()
+    # Placement masks must exclude walls (place_obj only samples empty
+    # cells; walls are non-empty from the start).
+    ball_rects_np &= ~np.array(wall_tuple, dtype=bool)[None, :]
+    ball_rects = jnp.asarray(ball_rects_np)
+    C = cfg.num_cells
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    n_draws = len(rt.ball_colors) + cfg.num_agents
+    A = cfg.num_agents
+
+    def reset_batch(keys):
+        B = keys.shape[0]
+        new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        rnd = jax.vmap(lambda k: jax.random.uniform(jax.random.split(k)[1], (n_draws,)))(keys)
+        go, gc, pos = collect_reset_slab(
+            rt, rnd, wall_tuple, ball_rects, tril, interpret
+        )
+        return CollectState(
+            grid_obj=go,
+            grid_color=gc,
+            agent_pos=pos.reshape(B, A, 2),
+            collected=jnp.zeros((B,), jnp.int32),
+            step_count=jnp.zeros((B,), jnp.int32),
+            info_counts=jnp.zeros((B, A, cfg.num_ball_types), jnp.int32),
+            key=new_keys,
+        )
+
+    return reset_batch

@@ -170,3 +170,49 @@ def test_multistep_kernel_matches_repeated_single_steps():
     assert int(metrics["episodes"]) == n
     assert np.isfinite(float(metrics["reward_sum"]))
     assert int(jnp.max(states2.step_count)) == 0  # freshly reset
+
+
+def test_reset_kernel_matches_spec_and_semantics():
+    from gym_multigrid_tpu.envs.collect import _wall_mask, build_plan
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        _reset_math,
+        collect_reset_slab,
+        make_collect_reset_batch,
+        make_reset_tables,
+    )
+
+    n = 16
+    rt, plan = make_reset_tables(CFG)
+    wall = np.array(_wall_mask(CFG), dtype=bool)
+    wall_tuple = tuple(bool(b) for b in wall)
+    rects = jnp.asarray(plan.ball_rects & ~wall[None, :])
+    C = CFG.num_cells
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    rnd = jax.random.uniform(jax.random.PRNGKey(4), (n, len(rt.ball_colors) + 2))
+
+    want = _reset_math(rt, jnp.asarray(wall)[None, :], rects, rnd, tril)
+    got = collect_reset_slab(rt, rnd, wall_tuple, rects, tril, True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # Batch API: correct per-partition ball counts and fixed agent spots.
+    reset_batch = make_collect_reset_batch(CFG)
+    keys = jax.random.split(jax.random.PRNGKey(5), n)
+    states = reset_batch(keys)
+    go = np.asarray(states.grid_obj)
+    gc = np.asarray(states.grid_color)
+    # quadrants_respawn: 5 balls of each color 0..2, agents at (1,8),(2,8)
+    for c in range(3):
+        counts = ((go == 2) & (gc == c)).sum(axis=1)
+        np.testing.assert_array_equal(counts, np.full(n, 5))
+    np.testing.assert_array_equal(
+        np.asarray(states.agent_pos),
+        np.tile(np.array([[1, 8], [2, 8]]), (n, 1, 1)),
+    )
+    # balls only inside their partition
+    rects_np = np.asarray(plan.respawn_rects, dtype=bool)
+    for c in range(3):
+        hit = (go == 2) & (gc == c)
+        assert (hit <= rects_np[c][None, :]).all()
+    # the walls are intact
+    assert ((go == 1) == np.array(_wall_mask(CFG))[None, :]).all()
