@@ -11,7 +11,7 @@ performance surface is the functional/batched API in
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 import gymnasium as gym
 import jax

@@ -49,14 +49,6 @@ class World:
     def num_objects(self) -> int:
         return len(self.OBJECT_TO_IDX)
 
-    def behaviour_table(self, flag_by_type: dict[str, bool]) -> np.ndarray:
-        """Dense bool table indexed by object idx, default False."""
-        table = np.zeros(self.num_objects, dtype=bool)
-        for name, value in flag_by_type.items():
-            if name in self.OBJECT_TO_IDX:
-                table[self.OBJECT_TO_IDX[name]] = value
-        return table
-
 
 # Default world: 13 object types, 6-dim encoding
 # (reference: core/world.py:33-52)

@@ -107,6 +107,13 @@ class CollectState:
 
     grid_obj: jax.Array  # (N,) int32 object ids
     grid_color: jax.Array  # (N,) int32 color ids
+    # Reward-table slot of the ball occupying each cell (0 where no ball):
+    # the reference pays each Ball *instance* its constructor reward
+    # (collect_game.py:146 fwd_cell.reward), which per-color tables cannot
+    # express when colors repeat or respawn rewards differ from placement
+    # rewards (quadrants_respawn originals are hardcoded reward 1,
+    # collect_game.py:391, while respawns pay balls_reward[color], :409).
+    grid_slot: jax.Array  # (N,) int32
     agent_pos: jax.Array  # (n_agents, 2) int32 (x, y)
     collected: jax.Array  # () int32
     step_count: jax.Array  # () int32
@@ -264,6 +271,39 @@ def build_plan(cfg: CollectConfig) -> _PlacementPlan:
     )
 
 
+def reward_slot_tables(cfg: CollectConfig, plan: _PlacementPlan):
+    """Per-slot reward/info tables.
+
+    Slot layout: [0, n_balls) = placement order (originals pay their
+    placement reward, plan.ball_rewards — per Ball instance like the
+    reference); [n_balls, n_balls + n_colors) = respawned balls of color c
+    (they pay balls_reward[color], collect_game.py:129-130, 409).  Info
+    counters are keyed by the ball's color id like the reference
+    (_handle_pickup uses COLOR_TO_IDX[color], collect_game.py:141-147),
+    clamped into the counter table.
+    """
+    max_color = plan.respawn_rects.shape[0] - 1
+    nb_r = len(cfg.balls_reward)
+    nt = cfg.num_ball_types
+
+    def respawn_reward(c):
+        # balls_reward[color]; the reference would IndexError for color ids
+        # beyond the list — clamp to implement the evident intent.
+        return float(cfg.balls_reward[min(c, nb_r - 1)])
+
+    slot_rewards = np.array(
+        list(plan.ball_rewards)
+        + [respawn_reward(c) for c in range(max_color + 1)],
+        dtype=np.float32,
+    )
+    slot_info = np.array(
+        [min(int(c), nt - 1) for c in plan.ball_colors]
+        + [min(c, nt - 1) for c in range(max_color + 1)],
+        dtype=np.int32,
+    )
+    return slot_rewards, slot_info, len(plan.ball_colors)
+
+
 def make_collect(cfg: CollectConfig):
     """Build (reset_fn, step_fn, encode_fn) closures over static tables.
 
@@ -277,34 +317,30 @@ def make_collect(cfg: CollectConfig):
     wall = jnp.asarray(_wall_mask(cfg))
     ball_rects = jnp.asarray(plan.ball_rects)
     respawn_rects = jnp.asarray(plan.respawn_rects)
-    # Reward / info-slot lookup by color id.
     max_color = plan.respawn_rects.shape[0] - 1
-    reward_by_color = np.zeros(max_color + 1, dtype=np.float32)
-    slot_by_color = np.zeros(max_color + 1, dtype=np.int32)
-    for s, (c, r) in enumerate(zip(cfg.balls_index, cfg.balls_reward)):
-        reward_by_color[c] = r
-        slot_by_color[c] = min(s, cfg.num_ball_types - 1)
-    # quadrants_respawn colors are partition indices 0..2 with
-    # balls_reward[color] on respawn (collect_game.py:401-409)
-    if cfg.layout == "quadrants_respawn":
-        for c in range(min(3, max_color + 1)):
-            reward_by_color[c] = cfg.balls_reward[c]
-            slot_by_color[c] = c
-    reward_by_color = jnp.asarray(reward_by_color)
-    slot_by_color = jnp.asarray(slot_by_color)
+    slot_rewards_np, slot_info_np, n_balls_planned = reward_slot_tables(cfg, plan)
+    slot_rewards = jnp.asarray(slot_rewards_np)
+    slot_info = jnp.asarray(slot_info_np)
     agent_colors = jnp.asarray(np.array(cfg.agents_index, dtype=np.int32))
     action_vec = jnp.asarray(COLLECT_ACTION_TO_VEC)
 
     def _flat(x, y):
         return y * w + x
 
-    def _place_uniform(grid_obj, grid_color, key, rect, obj_id, color_id):
-        """One sequential uniform-empty placement (replaces place_obj)."""
+    def _place_uniform(grid_obj, grid_color, grid_slot, key, rect, color_id, slot_id):
+        """One sequential uniform-empty ball placement (replaces place_obj).
+
+        Guarded against an empty mask: the reference would spin forever in
+        rejection sampling (multigrid.py:308-312); here the placement
+        becomes a no-op instead of corrupting a wall cell.
+        """
         mask = rect & (grid_obj == EMPTY)
+        ok = jnp.any(mask)
         idx = masked_uniform_choice(key, mask)
-        grid_obj = set_flat(grid_obj, idx, obj_id)
-        grid_color = set_flat(grid_color, idx, color_id)
-        return grid_obj, grid_color, idx
+        grid_obj = set_flat(grid_obj, idx, BALL, ok)
+        grid_color = set_flat(grid_color, idx, color_id, ok)
+        grid_slot = set_flat(grid_slot, idx, slot_id, ok)
+        return grid_obj, grid_color, grid_slot
 
     def reset_fn(key: jax.Array) -> CollectState:
         key, *ball_keys = jax.random.split(key, 1 + len(plan.ball_colors))
@@ -312,31 +348,39 @@ def make_collect(cfg: CollectConfig):
 
         grid_obj = jnp.where(wall, WALL, EMPTY).astype(jnp.int32)
         grid_color = jnp.where(wall, WALL_COLOR, 0).astype(jnp.int32)
+        grid_slot = jnp.zeros((n,), dtype=jnp.int32)
         agent_pos = jnp.zeros((n_agents, 2), dtype=jnp.int32)
 
         ball_color_arr = jnp.asarray(np.array(plan.ball_colors, dtype=np.int32))
 
-        def place_balls(grid_obj, grid_color):
+        def place_balls(grid_obj, grid_color, grid_slot):
             if not plan.ball_colors:
-                return grid_obj, grid_color
+                return grid_obj, grid_color, grid_slot
 
             # One traced body scanned over the static placement plan — same
             # sequential semantics as the reference's per-ball place_obj
             # loop, but O(1) trace/compile size.
             def body(carry, xs):
-                g_obj, g_col = carry
-                k, rect, color = xs
-                g_obj, g_col, _ = _place_uniform(g_obj, g_col, k, rect, BALL, color)
-                return (g_obj, g_col), None
+                g_obj, g_col, g_slot = carry
+                k, rect, color, slot = xs
+                g_obj, g_col, g_slot = _place_uniform(
+                    g_obj, g_col, g_slot, k, rect, color, slot
+                )
+                return (g_obj, g_col, g_slot), None
 
-            (grid_obj, grid_color), _ = jax.lax.scan(
+            (grid_obj, grid_color, grid_slot), _ = jax.lax.scan(
                 body,
-                (grid_obj, grid_color),
-                (jnp.stack(ball_keys), ball_rects, ball_color_arr),
+                (grid_obj, grid_color, grid_slot),
+                (
+                    jnp.stack(ball_keys),
+                    ball_rects,
+                    ball_color_arr,
+                    jnp.arange(len(plan.ball_colors), dtype=jnp.int32),
+                ),
             )
-            return grid_obj, grid_color
+            return grid_obj, grid_color, grid_slot
 
-        def place_agents(grid_obj, grid_color, agent_pos):
+        def place_agents(grid_obj, grid_color, grid_slot, agent_pos):
             for i in range(n_agents):
                 if plan.agent_fixed is not None:
                     # put_obj: unconditional overwrite (multigrid.py:341-348)
@@ -357,23 +401,29 @@ def make_collect(cfg: CollectConfig):
                     pos = jnp.stack([idx % w, idx // w]).astype(jnp.int32)
                 grid_obj = set_flat(grid_obj, idx, AGENT)
                 grid_color = set_flat(grid_color, idx, agent_colors[i])
+                grid_slot = set_flat(grid_slot, idx, 0)
                 agent_pos = agent_pos.at[i].set(pos)
-            return grid_obj, grid_color, agent_pos
+            return grid_obj, grid_color, grid_slot, agent_pos
 
         if plan.balls_before_agents:
-            grid_obj, grid_color = place_balls(grid_obj, grid_color)
-            grid_obj, grid_color, agent_pos = place_agents(
-                grid_obj, grid_color, agent_pos
+            grid_obj, grid_color, grid_slot = place_balls(
+                grid_obj, grid_color, grid_slot
+            )
+            grid_obj, grid_color, grid_slot, agent_pos = place_agents(
+                grid_obj, grid_color, grid_slot, agent_pos
             )
         else:
-            grid_obj, grid_color, agent_pos = place_agents(
-                grid_obj, grid_color, agent_pos
+            grid_obj, grid_color, grid_slot, agent_pos = place_agents(
+                grid_obj, grid_color, grid_slot, agent_pos
             )
-            grid_obj, grid_color = place_balls(grid_obj, grid_color)
+            grid_obj, grid_color, grid_slot = place_balls(
+                grid_obj, grid_color, grid_slot
+            )
 
         return CollectState(
             grid_obj=grid_obj,
             grid_color=grid_color,
+            grid_slot=grid_slot,
             agent_pos=agent_pos,
             collected=jnp.int32(0),
             step_count=jnp.int32(0),
@@ -393,6 +443,7 @@ def make_collect(cfg: CollectConfig):
 
         grid_obj = state.grid_obj
         grid_color = state.grid_color
+        grid_slot = state.grid_slot
         agent_pos = state.agent_pos
         collected = state.collected
         info_counts = state.info_counts
@@ -421,31 +472,45 @@ def make_collect(cfg: CollectConfig):
             do_move = is_ball | (cell == EMPTY)
 
             ball_color = get_flat(grid_color, nidx)
-            ball_color = jnp.clip(ball_color, 0, reward_by_color.shape[0] - 1)
+            ball_color = jnp.clip(ball_color, 0, max_color)
+            ball_slot = jnp.clip(
+                get_flat(grid_slot, nidx), 0, slot_rewards.shape[0] - 1
+            )
 
             # 1) pickup: remove ball (collect_game.py:140)
             grid_obj = set_flat(grid_obj, nidx, EMPTY, is_ball)
             grid_color = set_flat(grid_color, nidx, 0, is_ball)
-            # 2) respawn before the agent moves in (collect_game.py:129-144)
+            grid_slot = set_flat(grid_slot, nidx, 0, is_ball)
+            # 2) respawn before the agent moves in (collect_game.py:129-144);
+            # guarded no-op when the partition has no empty cell (the
+            # reference would spin forever, multigrid.py:308-312)
             if cfg.respawn:
                 rmask = respawn_rects[ball_color] & (grid_obj == EMPTY)
+                ok = is_ball & jnp.any(rmask)
                 ridx = masked_uniform_choice(k_spawn[t], rmask)
-                grid_obj = set_flat(grid_obj, ridx, BALL, is_ball)
-                grid_color = set_flat(grid_color, ridx, ball_color, is_ball)
-            # bookkeeping (collect_game.py:145-147)
+                grid_obj = set_flat(grid_obj, ridx, BALL, ok)
+                grid_color = set_flat(grid_color, ridx, ball_color, ok)
+                # respawned balls pay balls_reward[color]
+                # (collect_game.py:129-130, 409)
+                grid_slot = set_flat(
+                    grid_slot, ridx, n_balls_planned + ball_color, ok
+                )
+            # bookkeeping (collect_game.py:145-147): reward is the picked
+            # Ball instance's own reward, via its slot
             collected = collected + is_ball.astype(jnp.int32)
             rewards = rewards.at[i].add(
-                jnp.where(is_ball, reward_by_color[ball_color], 0.0)
+                jnp.where(is_ball, slot_rewards[ball_slot], 0.0)
             )
-            slot = slot_by_color[ball_color]
+            islot = slot_info[ball_slot]
             bump = (
                 jax.nn.one_hot(i, n_agents, dtype=jnp.int32)[:, None]
-                * jax.nn.one_hot(slot, cfg.num_ball_types, dtype=jnp.int32)[None, :]
+                * jax.nn.one_hot(islot, cfg.num_ball_types, dtype=jnp.int32)[None, :]
             )
             info_counts = info_counts + jnp.where(is_ball, bump, 0)
             # 3) move (collect_game.py:174-181)
             grid_obj = set_flat(grid_obj, nidx, AGENT, do_move)
             grid_color = set_flat(grid_color, nidx, agent_colors[i], do_move)
+            grid_slot = set_flat(grid_slot, nidx, 0, do_move)
             grid_obj = set_flat(grid_obj, oidx, EMPTY, do_move)
             grid_color = set_flat(grid_color, oidx, 0, do_move)
             agent_pos = agent_pos.at[i].set(jnp.where(do_move, nxt, pos))
@@ -460,6 +525,7 @@ def make_collect(cfg: CollectConfig):
         new_state = CollectState(
             grid_obj=grid_obj,
             grid_color=grid_color,
+            grid_slot=grid_slot,
             agent_pos=agent_pos,
             collected=collected,
             step_count=step_count,

@@ -171,6 +171,7 @@ class _Tables:
     obstacle_mask: np.ndarray  # (S0, S1) bool
 
 
+@functools.cache
 def build_tables(cfg: CtfConfig) -> _Tables:
     fm = cfg.field_map
     blue_flag = np.argwhere(fm == BLUE_FLAG)[0]

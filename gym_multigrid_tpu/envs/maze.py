@@ -166,7 +166,12 @@ def make_maze(cfg: MazeConfig) -> MazeFns:
     base_map = jnp.asarray(base_map_np)
 
     def obs_map(state: MazeState) -> jax.Array:
-        """Encoded map, float64 dtype, NOT transposed (maze.py:245-260)."""
+        """Encoded map, NOT transposed (maze.py:245-260).
+
+        The reference returns float64; the jitted core emits jax's default
+        float (f32 under standard config) and the gym adapter casts to
+        float64 at the host edge (maze_adapter._np_obs).
+        """
         return base_map.at[state.pos[0], state.pos[1]].set(M_AGENT)
 
     def obs_positional(state: MazeState):

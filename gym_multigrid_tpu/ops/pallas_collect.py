@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 512  # envs per program instance (single-step kernel)
-MS_BLK = 128  # envs per program instance (multi-step kernel)
+MS_BLK = 128  # envs per program instance (multi-step/reset kernels; Mosaic
+# stacks per-unrolled-step temporaries, so VMEM grows with chunk x planes)
 
 
 class _Tables(NamedTuple):
@@ -54,12 +55,17 @@ class _Tables(NamedTuple):
     respawn_rects: tuple[tuple[bool, ...], ...]  # (n_colors, n_cells)
     action_dx: tuple[int, ...]
     action_dy: tuple[int, ...]
+    #: first reward-table slot for respawned balls (= number of planned
+    #: placements); a respawned ball of color c carries slot base + c
+    respawn_slot_base: int
 
 
-def _step_math(t: _Tables, go, gc, pos, acts, rnd, rects=None, tril=None):
+def _step_math(t: _Tables, go, gc, gs, pos, acts, rnd, rects=None, tril=None):
     """One Collect transition for a (B, cells) slab.
 
     go/gc:  (B, C) int32 object/color planes
+    gs:     (B, C) int32 reward-table slot plane (per-Ball-instance rewards,
+            see envs/collect.py reward_slot_tables)
     pos:    (B, 2*n_agents) int32 [a0x, a0y, a1x, a1y, ...]
     acts:   (B, n_agents) int32
     rnd:    (B, 3) float32 uniforms [move-order, spawn_slot0, spawn_slot1]
@@ -69,8 +75,8 @@ def _step_math(t: _Tables, go, gc, pos, acts, rnd, rects=None, tril=None):
             MXU matmul (Pallas TPU has no cumsum lowering; counts <= C are
             exact in f32)
 
-    Returns (go, gc, pos, picked) with picked: (B, n_agents) int32 — the
-    color id of the ball agent i picked up this step, or -1.
+    Returns (go, gc, gs, pos, picked) with picked: (B, n_agents) int32 —
+    the reward-table SLOT of the ball agent i picked up this step, or -1.
     """
     B, C = go.shape
     n_agents = acts.shape[1]
@@ -133,10 +139,12 @@ def _step_math(t: _Tables, go, gc, pos, acts, rnd, rects=None, tril=None):
         is_ball = cell == t.ball
         do_move = is_ball | (cell == t.empty)
         ball_color = jnp.sum(jnp.where(hit_n, gc, 0), axis=1, keepdims=True)
+        ball_slot = jnp.sum(jnp.where(hit_n, gs, 0), axis=1, keepdims=True)
 
         # pickup: clear the ball cell (collect_game.py:140)
         go = jnp.where(hit_n & is_ball, t.empty, go)
         gc = jnp.where(hit_n & is_ball, 0, gc)
+        gs = jnp.where(hit_n & is_ball, 0, gs)
 
         if t.respawn:
             # respawn BEFORE the agent moves in (collect_game.py:129-144):
@@ -161,16 +169,21 @@ def _step_math(t: _Tables, go, gc, pos, acts, rnd, rects=None, tril=None):
             hit_r = (cum == r + 1) & mask
             go = jnp.where(hit_r & is_ball, t.ball, go)
             gc = jnp.where(hit_r & is_ball, ball_color, gc)
+            # respawned balls pay balls_reward[color] via slot base+color
+            gs = jnp.where(
+                hit_r & is_ball, t.respawn_slot_base + ball_color, gs
+            )
 
         # move (collect_game.py:174-181)
         go = jnp.where(hit_n & do_move, t.agent, go)
         gc = jnp.where(hit_n & do_move, my_color, gc)
+        gs = jnp.where(hit_n & do_move, 0, gs)
         go = jnp.where(hit_o & do_move, t.empty, go)
         gc = jnp.where(hit_o & do_move, 0, gc)
 
         new_px = jnp.where(do_move, nx, px)
         new_py = jnp.where(do_move, ny, py)
-        picked_here = jnp.where(is_ball, ball_color, -1)
+        picked_here = jnp.where(is_ball, ball_slot, -1)
 
         if n_agents == 2:
             pos_cols[0] = jnp.where(
@@ -191,7 +204,7 @@ def _step_math(t: _Tables, go, gc, pos, acts, rnd, rects=None, tril=None):
 
     pos_out = jnp.concatenate(pos_cols, axis=1)
     picked_out = jnp.concatenate(picked, axis=1)
-    return go, gc, pos_out, picked_out
+    return go, gc, gs, pos_out, picked_out
 
 
 def make_tables(cfg) -> _Tables:
@@ -216,11 +229,12 @@ def make_tables(cfg) -> _Tables:
         ),
         action_dx=tuple(int(v[0]) for v in COLLECT_ACTION_TO_VEC),
         action_dy=tuple(int(v[1]) for v in COLLECT_ACTION_TO_VEC),
+        respawn_slot_base=len(plan.ball_colors),
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
-def collect_step_slab(t: _Tables, go, gc, pos, acts, rnd, interpret=False):
+@functools.partial(jax.jit, static_argnums=(0, 7))
+def collect_step_slab(t: _Tables, go, gc, gs, pos, acts, rnd, interpret=False):
     """Run the fused step over a full (B, C) batch via pallas_call."""
     B, C = go.shape
     n_agents = acts.shape[1]
@@ -231,14 +245,15 @@ def collect_step_slab(t: _Tables, go, gc, pos, acts, rnd, interpret=False):
     # cum[:, j] = sum_{k <= j} m[:, k]  <=>  m @ tril with tril[k, j] = k<=j
     tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
 
-    def kernel(go_ref, gc_ref, pos_ref, acts_ref, rnd_ref, rects_ref,
-               tril_ref, go_out, gc_out, pos_out, picked_out):
-        o, c, p, k = _step_math(
-            t, go_ref[:], gc_ref[:], pos_ref[:], acts_ref[:], rnd_ref[:],
-            rects_ref[:], tril_ref[:],
+    def kernel(go_ref, gc_ref, gs_ref, pos_ref, acts_ref, rnd_ref, rects_ref,
+               tril_ref, go_out, gc_out, gs_out, pos_out, picked_out):
+        o, c, sl, p, k = _step_math(
+            t, go_ref[:], gc_ref[:], gs_ref[:], pos_ref[:], acts_ref[:],
+            rnd_ref[:], rects_ref[:], tril_ref[:],
         )
         go_out[:] = o
         gc_out[:] = c
+        gs_out[:] = sl
         pos_out[:] = p
         picked_out[:] = k
 
@@ -253,6 +268,7 @@ def collect_step_slab(t: _Tables, go, gc, pos, acts, rnd, interpret=False):
         in_specs=[
             row_spec(C),
             row_spec(C),
+            row_spec(C),
             row_spec(2 * n_agents),
             row_spec(n_agents),
             row_spec(3),
@@ -265,17 +281,19 @@ def collect_step_slab(t: _Tables, go, gc, pos, acts, rnd, interpret=False):
         out_specs=[
             row_spec(C),
             row_spec(C),
+            row_spec(C),
             row_spec(2 * n_agents),
             row_spec(n_agents),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 2 * n_agents), jnp.int32),
             jax.ShapeDtypeStruct((B, n_agents), jnp.int32),
         ],
         interpret=interpret,
-    )(go, gc, pos, acts, rnd, rects, tril)
+    )(go, gc, gs, pos, acts, rnd, rects, tril)
 
 
 def make_collect_step_batch(cfg, interpret: bool | None = None):
@@ -286,7 +304,12 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
     leaves carry a leading batch axis.  Falls back to None when the config
     is outside the kernel's envelope (the caller then uses the XLA path).
     """
-    from gym_multigrid_tpu.envs.collect import CollectState, make_collect
+    from gym_multigrid_tpu.envs.collect import (
+        CollectState,
+        build_plan,
+        make_collect,
+        reward_slot_tables,
+    )
 
     if cfg.num_agents not in (1, 2):
         return None
@@ -296,17 +319,9 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
         interpret = jax.default_backend() == "cpu"
     _, _, encode_one = make_collect(cfg)
 
-    reward_by_color = np.zeros(len(t.respawn_rects), dtype=np.float32)
-    slot_by_color = np.zeros(len(t.respawn_rects), dtype=np.int32)
-    for s, (c, r) in enumerate(zip(cfg.balls_index, cfg.balls_reward)):
-        reward_by_color[c] = r
-        slot_by_color[c] = min(s, cfg.num_ball_types - 1)
-    if cfg.layout == "quadrants_respawn":
-        for c in range(min(3, len(reward_by_color))):
-            reward_by_color[c] = cfg.balls_reward[c]
-            slot_by_color[c] = c
-    reward_by_color = jnp.asarray(reward_by_color)
-    slot_by_color = jnp.asarray(slot_by_color)
+    slot_rewards_np, slot_info_np, _ = reward_slot_tables(cfg, build_plan(cfg))
+    slot_rewards = jnp.asarray(slot_rewards_np)
+    slot_info = jnp.asarray(slot_info_np)
 
     def step_batch(states: CollectState, actions: jax.Array):
         B = states.grid_obj.shape[0]
@@ -315,23 +330,24 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
         rnd = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(k_rnd)
 
         pos = states.agent_pos.reshape(B, -1)
-        go, gc, pos, picked = collect_step_slab(
+        go, gc, gs, pos, picked = collect_step_slab(
             t,
             states.grid_obj,
             states.grid_color,
+            states.grid_slot,
             pos,
             actions.astype(jnp.int32),
             rnd,
             interpret,
         )
 
-        got_ball = picked >= 0  # (B, A)
-        pc = jnp.clip(picked, 0, reward_by_color.shape[0] - 1)
-        rewards = jnp.where(got_ball, reward_by_color[pc], 0.0)
+        got_ball = picked >= 0  # (B, A); picked is the reward-table slot
+        ps = jnp.clip(picked, 0, slot_rewards.shape[0] - 1)
+        rewards = jnp.where(got_ball, slot_rewards[ps], 0.0)
         n_picked = jnp.sum(got_ball.astype(jnp.int32), axis=1)
         collected = states.collected + n_picked
-        # info counters: one-hot (agent, slot) bumps
-        slots = slot_by_color[pc]  # (B, A)
+        # info counters: one-hot (agent, info-slot) bumps
+        slots = slot_info[ps]  # (B, A)
         bump = jax.nn.one_hot(
             slots, cfg.num_ball_types, dtype=jnp.int32
         ) * got_ball[..., None].astype(jnp.int32)
@@ -347,6 +363,7 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
         new_states = CollectState(
             grid_obj=go,
             grid_color=gc,
+            grid_slot=gs,
             agent_pos=pos.reshape(B, -1, 2),
             collected=collected,
             step_count=step_count,
@@ -364,35 +381,20 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _reward_tables(cfg):
-    import numpy as np
-
-    n_colors = max(3, max(cfg.balls_index) + 1)
-    reward_by_color = np.zeros(n_colors, dtype=np.float32)
-    slot_by_color = np.zeros(n_colors, dtype=np.int32)
-    for s, (c, r) in enumerate(zip(cfg.balls_index, cfg.balls_reward)):
-        reward_by_color[c] = r
-        slot_by_color[c] = min(s, cfg.num_ball_types - 1)
-    if cfg.layout == "quadrants_respawn":
-        for c in range(min(3, n_colors)):
-            reward_by_color[c] = cfg.balls_reward[c]
-            slot_by_color[c] = c
-    return reward_by_color, slot_by_color
-
-
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
-def collect_multistep_slab(t, go, gc, pos, acts_rnd, K, reward_slot, interpret=False):
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types, interpret=False):
     """K fused env steps per kernel launch.
 
     acts_rnd: (B, K*(A+3)) — per step A int32 actions (as float-cast ints)
     then 3 uniforms, packed so a single 2D ref feeds the kernel.  Outputs:
     final planes/pos plus per-env accumulated rewards (B, A) and pickup
-    counters (B, A*num_ball_types).  The K-step loop is unrolled at trace
-    time (static column slices; Mosaic dislikes tiny-lane 3D blocks).
+    counters (B, A*n_types).  reward_slot = (slot_rewards, slot_info)
+    static tuples keyed by the reward-table slot _step_math reports.  The
+    K-step loop is unrolled at trace time (static column slices; Mosaic
+    dislikes tiny-lane 3D blocks).
     """
     B, C = go.shape
     A = pos.shape[1] // 2
-    n_types = len(reward_slot[1])
     # Smaller slab than the single-step kernel: the unrolled K-step body
     # keeps more live VMEM per row (chunk=10 at 512 rows OOMs the 16MB
     # scoped budget); launches amortize over K so small blocks stay fast.
@@ -403,36 +405,47 @@ def collect_multistep_slab(t, go, gc, pos, acts_rnd, K, reward_slot, interpret=F
     tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
     rwd_tab, slot_tab = reward_slot
 
-    def kernel(go_ref, gc_ref, pos_ref, ar_ref, rects_ref, tril_ref,
-               go_out, gc_out, pos_out, rew_out, cnt_out):
-        go_k, gc_k, pos_k = go_ref[:], gc_ref[:], pos_ref[:]
+    n_slots = len(rwd_tab)
+
+    def kernel(go_ref, gc_ref, gs_ref, pos_ref, ar_ref, rects_ref, tril_ref,
+               rwd_ref, info_ref, go_out, gc_out, gs_out, pos_out, rew_out,
+               cnt_out):
+        go_k, gc_k, gs_k, pos_k = go_ref[:], gc_ref[:], gs_ref[:], pos_ref[:]
         ar = ar_ref[:]
-        rew = jnp.zeros((go_k.shape[0], A), dtype=jnp.float32)
-        cnt = jnp.zeros((go_k.shape[0], A * n_types), dtype=jnp.int32)
+        blk_rows = go_k.shape[0]
+        rew = jnp.zeros((blk_rows, A), dtype=jnp.float32)
+        cnt = jnp.zeros((blk_rows, A * n_types), dtype=jnp.int32)
+        cnt_lane = jax.lax.broadcasted_iota(jnp.int32, (1, A * n_types), 1)
+        slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_slots), 1)
+        a_lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
         for k in range(K):
             base = k * (A + 3)
             acts = ar[:, base : base + A].astype(jnp.int32)
             rnd = ar[:, base + A : base + A + 3]
-            go_k, gc_k, pos_k, picked = _step_math(
-                t, go_k, gc_k, pos_k, acts, rnd, rects_ref[:], tril_ref[:]
+            go_k, gc_k, gs_k, pos_k, picked = _step_math(
+                t, go_k, gc_k, gs_k, pos_k, acts, rnd, rects_ref[:],
+                tril_ref[:],
             )
-            got = picked >= 0
-            cnt_lane = jax.lax.broadcasted_iota(
-                jnp.int32, (1, A * n_types), 1
-            )
-            for color in range(n_colors):
-                hit = got & (picked == color)
-                rew = rew + jnp.where(hit, float(rwd_tab[color]), 0.0)
-                slot = int(slot_tab[color])
-                for a in range(A):
-                    # static-column add via iota mask (scatter-add has no
-                    # Mosaic lowering)
-                    col = a * n_types + slot
-                    cnt = cnt + jnp.where(
-                        cnt_lane == col, hit[:, a : a + 1].astype(jnp.int32), 0
-                    )
+            # slot-keyed reward/counter accumulation: table rows come in as
+            # (1, n_slots) refs and are selected with iota compares (no
+            # gather/scatter lowering on Mosaic).
+            for a in range(A):
+                pa = picked[:, a : a + 1]  # (blk, 1), -1 = nothing picked
+                hit = slot_lane == pa  # (blk, n_slots)
+                rew_a = jnp.sum(
+                    jnp.where(hit, rwd_ref[:], 0.0), axis=1, keepdims=True
+                )
+                rew = rew + jnp.where(a_lane == a, rew_a, 0.0)
+                islot = jnp.sum(
+                    jnp.where(hit, info_ref[:], 0), axis=1, keepdims=True
+                )
+                col = a * n_types + islot  # (blk, 1)
+                cnt = cnt + jnp.where(
+                    (cnt_lane == col) & (pa >= 0), 1, 0
+                )
         go_out[:] = go_k
         gc_out[:] = gc_k
+        gs_out[:] = gs_k
         pos_out[:] = pos_k
         rew_out[:] = rew
         cnt_out[:] = cnt
@@ -446,12 +459,16 @@ def collect_multistep_slab(t, go, gc, pos, acts_rnd, K, reward_slot, interpret=F
         in_specs=[
             row_spec(C),
             row_spec(C),
+            row_spec(C),
             row_spec(2 * A),
             row_spec(K * (A + 3)),
             pl.BlockSpec((n_colors, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_slots), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_slots), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            row_spec(C),
             row_spec(C),
             row_spec(C),
             row_spec(2 * A),
@@ -461,12 +478,17 @@ def collect_multistep_slab(t, go, gc, pos, acts_rnd, K, reward_slot, interpret=F
         out_shape=[
             jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 2 * A), jnp.int32),
             jax.ShapeDtypeStruct((B, A), jnp.float32),
             jax.ShapeDtypeStruct((B, A * n_types), jnp.int32),
         ],
         interpret=interpret,
-    )(go, gc, pos, acts_rnd, rects, tril)
+    )(
+        go, gc, gs, pos, acts_rnd, rects, tril,
+        jnp.asarray(np.array(rwd_tab, dtype=np.float32))[None, :],
+        jnp.asarray(np.array(slot_tab, dtype=np.int32))[None, :],
+    )
 
 
 def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
@@ -493,11 +515,15 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
     # agent-steps/s vs 74.3M at 25 on v5e).
     chunk = chunk or 10
     reset_batch = make_collect_reset_batch(cfg, interpret)
-    reward_slot = tuple(
-        (tuple(float(x) for x in tab) if i == 0 else tuple(int(x) for x in tab))
-        for i, tab in enumerate(_reward_tables(cfg))
+    from gym_multigrid_tpu.envs.collect import build_plan, reward_slot_tables
+
+    slot_rewards_np, slot_info_np, _ = reward_slot_tables(cfg, build_plan(cfg))
+    reward_slot = (
+        tuple(float(x) for x in slot_rewards_np),
+        tuple(int(x) for x in slot_info_np),
     )
     A = cfg.num_agents
+    n_types = cfg.num_ball_types
 
     def _one_episode(states, key):
         """max_steps env steps (chunked kernel launches) + lockstep reset."""
@@ -512,20 +538,23 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
             packed = jnp.concatenate([acts, rnd], axis=2).reshape(
                 B, K * (A + 3)
             )
-            go, gc, pos, rew, cnt = collect_multistep_slab(
+            go, gc, gs, pos, rew, cnt = collect_multistep_slab(
                 t,
                 states.grid_obj,
                 states.grid_color,
+                states.grid_slot,
                 states.agent_pos.reshape(B, -1),
                 packed,
                 K,
                 reward_slot,
+                n_types,
                 interpret,
             )
             reward_sum = reward_sum + jnp.sum(rew)
             states = type(states)(
                 grid_obj=go,
                 grid_color=gc,
+                grid_slot=gs,
                 agent_pos=pos.reshape(B, -1, 2),
                 collected=states.collected
                 + jnp.sum(cnt.reshape(B, A, -1), axis=(1, 2)),
@@ -641,26 +670,29 @@ def _reset_math(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
     wall_row:   (1, C) bool static wall mask (row-broadcast)
     ball_rects: (n_balls, C) bool placement rects (sequential order)
     rnd:        (B, n_balls + n_agents) uniforms
-    Returns (go, gc, pos) with pos (B, 2*A).
+    Returns (go, gc, gs, pos) with pos (B, 2*A); gs holds each placed
+    ball's reward-table slot (its placement index).
     """
     B = rnd.shape[0]
     C = rt.n_cells
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     go = jnp.where(wall_row, rt.wall, rt.empty) + jnp.zeros((B, C), jnp.int32)
     gc = jnp.where(wall_row, rt.wall_color, 0) + jnp.zeros((B, C), jnp.int32)
+    gs = jnp.zeros((B, C), jnp.int32)
     A = len(rt.agent_colors)
     w = rt.width
     pos_cols = []
 
-    def place_balls(go, gc, base):
+    def place_balls(go, gc, gs, base):
         for b, color in enumerate(rt.ball_colors):
             mask = ball_rects[b][None, :] & (go == rt.empty)
             hit = _masked_pick(mask, rnd[:, base + b : base + b + 1], tril)
             go = jnp.where(hit, rt.ball, go)
             gc = jnp.where(hit, int(color), gc)
-        return go, gc
+            gs = jnp.where(hit, b, gs)
+        return go, gc, gs
 
-    def place_agents(go, gc, base):
+    def place_agents(go, gc, gs, base):
         cols = []
         for i, color in enumerate(rt.agent_colors):
             if rt.agent_fixed is not None:
@@ -682,17 +714,18 @@ def _reset_math(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
             hit = lane == idx
             go = jnp.where(hit, rt.agent, go)
             gc = jnp.where(hit, int(color), gc)
+            gs = jnp.where(hit, 0, gs)
             cols.append(jnp.concatenate([idx % w, idx // w], axis=1))
-        return go, gc, cols
+        return go, gc, gs, cols
 
     nb = len(rt.ball_colors)
     if rt.balls_before_agents:
-        go, gc = place_balls(go, gc, 0)
-        go, gc, pos_cols = place_agents(go, gc, nb)
+        go, gc, gs = place_balls(go, gc, gs, 0)
+        go, gc, gs, pos_cols = place_agents(go, gc, gs, nb)
     else:
-        go, gc, pos_cols = place_agents(go, gc, 0)
-        go, gc = place_balls(go, gc, A)
-    return go, gc, jnp.concatenate(pos_cols, axis=1)
+        go, gc, gs, pos_cols = place_agents(go, gc, gs, 0)
+        go, gc, gs = place_balls(go, gc, gs, A)
+    return go, gc, gs, jnp.concatenate(pos_cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 5))
@@ -706,12 +739,14 @@ def collect_reset_slab(rt: _ResetTables, rnd, wall_tuple, ball_rects, tril, inte
     grid = (pl.cdiv(B, blk),)
     A = len(rt.agent_colors)
 
-    def kernel(rnd_ref, wall_ref, rects_ref, tril_ref, go_out, gc_out, pos_out):
-        go, gc, pos = _reset_math(
+    def kernel(rnd_ref, wall_ref, rects_ref, tril_ref, go_out, gc_out,
+               gs_out, pos_out):
+        go, gc, gs, pos = _reset_math(
             rt, wall_ref[:], rects_ref[:], rnd_ref[:], tril_ref[:]
         )
         go_out[:] = go
         gc_out[:] = gc
+        gs_out[:] = gs
         pos_out[:] = pos
 
     def row_spec(cols):
@@ -726,8 +761,9 @@ def collect_reset_slab(rt: _ResetTables, rnd, wall_tuple, ball_rects, tril, inte
             pl.BlockSpec((n_rects, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[row_spec(C), row_spec(C), row_spec(2 * A)],
+        out_specs=[row_spec(C), row_spec(C), row_spec(C), row_spec(2 * A)],
         out_shape=[
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 2 * A), jnp.int32),
@@ -764,12 +800,13 @@ def make_collect_reset_batch(cfg, interpret: bool | None = None):
         B = keys.shape[0]
         new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
         rnd = jax.vmap(lambda k: jax.random.uniform(jax.random.split(k)[1], (n_draws,)))(keys)
-        go, gc, pos = collect_reset_slab(
+        go, gc, gs, pos = collect_reset_slab(
             rt, rnd, wall_tuple, ball_rects, tril, interpret
         )
         return CollectState(
             grid_obj=go,
             grid_color=gc,
+            grid_slot=gs,
             agent_pos=pos.reshape(B, A, 2),
             collected=jnp.zeros((B,), jnp.int32),
             step_count=jnp.zeros((B,), jnp.int32),

@@ -24,8 +24,8 @@ def sharded_rollout(
     env: BatchedEnv,
     mesh: Mesh,
     axis: str = "data",
-    num_actions: int = 4,
-    actions_shape: tuple[int, ...] = (2,),
+    num_actions: int | None = None,
+    actions_shape: tuple[int, ...] | None = None,
 ) -> Callable:
     """Build rollout_fn(states, key, num_steps) running under shard_map.
 
@@ -34,6 +34,10 @@ def sharded_rollout(
     axis index so streams are independent.  Returns (states', metrics) with
     metrics psum-reduced across shards (identical on every shard).
     """
+    num_actions = env.num_actions if num_actions is None else num_actions
+    actions_shape = (
+        env.actions_shape if actions_shape is None else actions_shape
+    )
     n_shards = mesh.shape[axis]
     assert env.num_envs % n_shards == 0
     local_envs = env.num_envs // n_shards
@@ -44,6 +48,8 @@ def sharded_rollout(
         num_envs=local_envs,
         auto_reset=env.auto_reset,
         step_batch=env.step_batch,
+        num_actions=num_actions,
+        actions_shape=actions_shape,
     )
 
     def rollout_fn(states, key, num_steps: int):

@@ -47,6 +47,10 @@ class BatchedEnv:
     # Optional whole-batch transition (e.g. a fused Pallas kernel); used
     # instead of vmap(step_one) when provided.  Same contract per env.
     step_batch: Callable | None = None
+    # Action space of ONE env: rollout's random policy samples from these
+    # (set by the family builders; don't rely on the legacy fallbacks).
+    num_actions: int = 4
+    actions_shape: tuple[int, ...] = (2,)
 
     def reset(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs)
@@ -87,15 +91,20 @@ class BatchedEnv:
         key: jax.Array,
         num_steps: int,
         policy: Callable | None = None,
-        num_actions: int = 4,
-        actions_shape: tuple[int, ...] = (2,),
+        num_actions: int | None = None,
+        actions_shape: tuple[int, ...] | None = None,
     ):
         """Scan ``num_steps`` lockstep steps.
 
         policy(key, obs_states) -> actions; defaults to uniform random
-        actions. Returns (final_states, metrics dict of summed
-        rewards/episodes).
+        actions over THIS env's action space (num_actions/actions_shape
+        default to the fields the family builder set). Returns
+        (final_states, metrics dict of summed rewards/episodes).
         """
+        num_actions = self.num_actions if num_actions is None else num_actions
+        actions_shape = (
+            self.actions_shape if actions_shape is None else actions_shape
+        )
 
         def body(carry, _):
             states, key, ret_sum, ep_count = carry
@@ -137,6 +146,8 @@ def make_collect_batch(
         num_envs=num_envs,
         auto_reset=auto_reset,
         step_batch=step_batch,
+        num_actions=4,
+        actions_shape=(cfg.num_agents,),
     )
 
 
@@ -156,6 +167,8 @@ def make_ctf_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
         encode_one=fns.obs_fn,
         num_envs=num_envs,
         auto_reset=auto_reset,
+        num_actions=5,
+        actions_shape=(cfg.num_blue_agents,),
     )
 
 
@@ -173,6 +186,8 @@ def make_maze_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
         encode_one=fns.obs_fn,
         num_envs=num_envs,
         auto_reset=auto_reset,
+        num_actions=5,
+        actions_shape=(),
     )
 
 
@@ -186,4 +201,6 @@ def make_wildfire_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedE
         encode_one=fns.encode_fn,
         num_envs=num_envs,
         auto_reset=auto_reset,
+        num_actions=5,
+        actions_shape=(cfg.num_agents,),
     )

@@ -39,7 +39,11 @@ class Transition(NamedTuple):
     logp: jax.Array
     value: jax.Array
     reward: jax.Array
-    done: jax.Array
+    terminated: jax.Array
+    truncated: jax.Array
+    # Critic value of the post-step (pre-auto-reset) observation — the
+    # bootstrap target at truncation boundaries.
+    boot_value: jax.Array
 
 
 def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
@@ -66,17 +70,24 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
             obs = jax.vmap(env.encode_one)(states)
             logits, value = net.apply(params, obs)
             actions, logp = sample_actions(k_act, logits)
-            states, _, rewards, term, trunc = env.step(states, actions)
+            states, step_obs, rewards, term, trunc = env.step(states, actions)
             # Per-agent rewards (B, A) sum to a team reward; scalar team
             # rewards (B,) — e.g. CtF — pass through.
             team_reward = rewards.sum(axis=-1) if rewards.ndim > 1 else rewards
+            # Bootstrap value for truncation: the value of the post-step
+            # observation BEFORE auto-reset (time limits are not true
+            # terminals — zeroing the bootstrap there biases GAE on
+            # fixed-horizon envs, where every episode ends by truncation).
+            _, boot_value = net.apply(params, step_obs)
             tr = Transition(
                 obs=obs,
                 actions=actions,
                 logp=logp,
                 value=value,
                 reward=team_reward,
-                done=(term | trunc).astype(jnp.float32),
+                terminated=term.astype(jnp.float32),
+                truncated=trunc.astype(jnp.float32),
+                boot_value=boot_value,
             )
             return (states, key), tr
 
@@ -90,9 +101,17 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
     def _gae(traj: Transition, last_value):
         def body(carry, tr):
             gae, next_value = carry
-            nonterminal = 1.0 - tr.done
-            delta = tr.reward + cfg.gamma * next_value * nonterminal - tr.value
-            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            done = jnp.maximum(tr.terminated, tr.truncated)
+            # True terminals zero the bootstrap; truncations bootstrap from
+            # the pre-reset final observation's value.
+            nv = jnp.where(tr.truncated > 0, tr.boot_value, next_value)
+            delta = (
+                tr.reward
+                + cfg.gamma * nv * (1.0 - tr.terminated)
+                - tr.value
+            )
+            # Advantage accumulation never crosses an episode boundary.
+            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - done) * gae
             return (gae, tr.value), gae
 
         (_, _), advantages = jax.lax.scan(

@@ -118,8 +118,9 @@ def test_step_semantics_move_and_block() -> None:
     # both agents trying to enter the same cell: only the first mover wins
     st3 = CollectState(
         grid_obj=st2.grid_obj, grid_color=st2.grid_color,
-        agent_pos=st2.agent_pos, collected=st2.collected,
-        step_count=st2.step_count, info_counts=st2.info_counts, key=st2.key,
+        grid_slot=st2.grid_slot, agent_pos=st2.agent_pos,
+        collected=st2.collected, step_count=st2.step_count,
+        info_counts=st2.info_counts, key=st2.key,
     )
     for _ in range(20):
         st3, obs, rew, term, trunc, _ = step_fn(st3, jnp.array([1, 3]))
@@ -200,3 +201,71 @@ def test_render_rgb() -> None:
     img = env.render()
     assert img.shape == (320, 320, 3) and img.dtype == np.uint8
     assert img.max() > 0
+
+
+def test_per_ball_instance_rewards() -> None:
+    """The reference pays each Ball *instance* its constructor reward
+    (collect_game.py:146): duplicate colors with different rewards, and
+    quadrants_respawn originals (hardcoded reward 1, collect_game.py:391)
+    vs respawns (balls_reward[color], :409), must not collapse."""
+    import jax
+    import jax.numpy as jnp
+    from gym_multigrid_tpu.envs.collect import (
+        CollectConfig, CollectState, build_plan, make_collect,
+        reward_slot_tables,
+    )
+
+    # Duplicate colors, distinct rewards: slots 0-4 pay 1.0, 5-9 pay 5.0,
+    # 10-14 pay 3.0 even though slots 0-9 share color 0.
+    cfg = CollectConfig(
+        layout="even",
+        balls_index=(0, 0, 1),
+        balls_reward=(1.0, 5.0, 3.0),
+        num_balls=15,
+    )
+    slot_rewards, slot_info, nb = reward_slot_tables(cfg, build_plan(cfg))
+    assert nb == 15
+    np.testing.assert_allclose(slot_rewards[:15], [1.0] * 5 + [5.0] * 5 + [3.0] * 5)
+
+    reset_fn, step_fn, _ = make_collect(cfg)
+    st = reset_fn(jax.random.PRNGKey(0))
+    go = np.asarray(st.grid_obj)
+    gs = np.asarray(st.grid_slot)
+    # Teleport agent 0 next to a known ball and collect it.
+    ball_cells = np.flatnonzero(go == 2)
+    for cell in ball_cells:
+        x, y = int(cell % 10), int(cell // 10)
+        if x > 1 and go[y * 10 + x - 1] == 0:  # empty cell to its west
+            break
+    else:
+        pytest.skip("no ball with empty west neighbor in this seed")
+    slot = int(gs[cell])
+    # place agent 0 at (x-1, y)
+    go2 = go.copy(); gc2 = np.asarray(st.grid_color).copy(); gs2 = gs.copy()
+    p = np.asarray(st.agent_pos).copy()
+    old = p[0]
+    go2[old[1] * 10 + old[0]] = 0; gc2[old[1] * 10 + old[0]] = 0
+    go2[y * 10 + x - 1] = 3; gc2[y * 10 + x - 1] = cfg.agents_index[0]
+    p[0] = (x - 1, y)
+    st = CollectState(
+        grid_obj=jnp.asarray(go2), grid_color=jnp.asarray(gc2),
+        grid_slot=jnp.asarray(gs2), agent_pos=jnp.asarray(p),
+        collected=st.collected, step_count=st.step_count,
+        info_counts=st.info_counts, key=st.key,
+    )
+    # Step east repeatedly until agent 0 picks it (move order is random;
+    # agent 1 stays put).
+    for _ in range(4):
+        st, obs, rew, term, trunc, _ = step_fn(st, jnp.array([1, -1]))
+        if float(rew[0]) != 0.0:
+            break
+    assert float(rew[0]) == pytest.approx(float(slot_rewards[slot]))
+
+    # quadrants_respawn: originals pay 1, respawns pay balls_reward[color].
+    cfg2 = CollectConfig(
+        layout="quadrants_respawn", respawn=True,
+        balls_reward=(2.0, 2.0, 2.0), max_steps=50,
+    )
+    sr2, _, nb2 = reward_slot_tables(cfg2, build_plan(cfg2))
+    np.testing.assert_allclose(sr2[:nb2], 1.0)
+    np.testing.assert_allclose(sr2[nb2 : nb2 + 3], 2.0)

@@ -41,10 +41,12 @@ def test_kernel_matches_spec():
     C = states.grid_obj.shape[1]
     tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
     want = _step_math(
-        t, states.grid_obj, states.grid_color, pos, acts, rnd, rects, tril
+        t, states.grid_obj, states.grid_color, states.grid_slot, pos,
+        acts, rnd, rects, tril,
     )
     got = collect_step_slab(
-        t, states.grid_obj, states.grid_color, pos, acts, rnd, True
+        t, states.grid_obj, states.grid_color, states.grid_slot, pos,
+        acts, rnd, True,
     )
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
@@ -116,8 +118,8 @@ def test_even_layout_no_respawn_terminates():
 
 
 def test_multistep_kernel_matches_repeated_single_steps():
+    from gym_multigrid_tpu.envs.collect import build_plan, reward_slot_tables
     from gym_multigrid_tpu.ops.pallas_collect import (
-        _reward_tables,
         collect_multistep_slab,
         make_collect_episode_rollout,
     )
@@ -132,31 +134,36 @@ def test_multistep_kernel_matches_repeated_single_steps():
     rnd = jax.random.uniform(jax.random.PRNGKey(10), (n, K, 3))
     packed = jnp.concatenate([acts, rnd], axis=2).reshape(n, K * (A + 3))
 
-    rwd_tab, slot_tab = _reward_tables(CFG)
+    rwd_tab, slot_tab, _ = reward_slot_tables(CFG, build_plan(CFG))
     reward_slot = (
         tuple(float(x) for x in rwd_tab),
         tuple(int(x) for x in slot_tab),
     )
-    go, gc, p, rew, cnt = collect_multistep_slab(
-        t, states.grid_obj, states.grid_color, pos, packed, K, reward_slot, True
+    go, gc, gs, p, rew, cnt = collect_multistep_slab(
+        t, states.grid_obj, states.grid_color, states.grid_slot, pos,
+        packed, K, reward_slot, CFG.num_ball_types, True,
     )
 
     # Reference: K applications of the single-step math.
     rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
     C = states.grid_obj.shape[1]
     tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
-    go2, gc2, p2 = states.grid_obj, states.grid_color, pos
+    go2, gc2, gs2, p2 = (
+        states.grid_obj, states.grid_color, states.grid_slot, pos,
+    )
     rew2 = np.zeros((n, A), dtype=np.float32)
     for k in range(K):
-        go2, gc2, p2, picked = _step_math(
-            t, go2, gc2, p2, acts[:, k].astype(jnp.int32), rnd[:, k], rects, tril
+        go2, gc2, gs2, p2, picked = _step_math(
+            t, go2, gc2, gs2, p2, acts[:, k].astype(jnp.int32), rnd[:, k],
+            rects, tril,
         )
         pk = np.asarray(picked)
-        for c in range(len(rwd_tab)):
-            rew2 += np.where((pk == c), rwd_tab[c], 0.0)
+        for slot in range(len(rwd_tab)):
+            rew2 += np.where((pk == slot), rwd_tab[slot], 0.0)
 
     np.testing.assert_array_equal(np.asarray(go), np.asarray(go2))
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(gc2))
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(gs2))
     np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
     np.testing.assert_allclose(np.asarray(rew), rew2)
 
@@ -194,6 +201,9 @@ def test_reset_kernel_matches_spec_and_semantics():
     got = collect_reset_slab(rt, rnd, wall_tuple, rects, tril, True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # original balls carry their placement slot
+    go_np, gc_np, gs_np, _ = [np.asarray(x) for x in got]
+    assert ((gs_np > 0) <= (go_np == 2)).all()
 
     # Batch API: correct per-partition ball counts and fixed agent spots.
     reset_batch = make_collect_reset_batch(CFG)
