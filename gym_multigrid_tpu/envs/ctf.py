@@ -344,9 +344,20 @@ def make_ctf(cfg: CtfConfig) -> CtfFns:
 
     n_battles = n_blue * n_red if mvn else 1
 
+    # Static (N,) flattened cell-property tables; point queries run as
+    # one-hot compare+reduce over the lane axis (a dynamic 1-element gather
+    # lowers poorly on TPU).
+    n_cells = S0 * S1
+    cell_iota = jnp.arange(n_cells, dtype=jnp.int32)
+
     def _cell(mask, p):
         q = jnp.clip(p, 0, shape_max)
-        return mask[q[0], q[1]]
+        flat = q[0] * S1 + q[1]
+        return jnp.sum(
+            jnp.where(cell_iota == flat, mask.reshape(-1), False).astype(
+                jnp.int32
+            )
+        ) > 0
 
     def reset_fn(key: jax.Array) -> CtfState:
         key, k_b, k_r = jax.random.split(key, 3)

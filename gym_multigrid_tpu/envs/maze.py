@@ -113,9 +113,18 @@ def make_maze(cfg: MazeConfig) -> MazeFns:
     # Action -> render dir (same mapping as CtF; delta vs DIR_TO_VEC).
     act_to_dir = jnp.asarray([3, 3, 2, 1, 0], dtype=jnp.int32)
 
+    # Point queries as one-hot compare+reduce over flattened static tables
+    # (single-element dynamic gathers lower poorly on TPU).
+    cell_iota = jnp.arange(S0 * S1, dtype=jnp.int32)
+
     def _cell(mask, p):
         q = jnp.clip(p, 0, shape_max)
-        return mask[q[0], q[1]]
+        flat = q[0] * S1 + q[1]
+        return jnp.sum(
+            jnp.where(cell_iota == flat, mask.reshape(-1), False).astype(
+                jnp.int32
+            )
+        ) > 0
 
     def reset_fn(key: jax.Array) -> MazeState:
         key, k = jax.random.split(key)
