@@ -156,3 +156,73 @@ def test_1v1_red_policy_blocks_and_flags():
         assert bool(term) == bool(ref_term)
         if ref_term or ref_trunc:
             break
+
+
+@needs_ref
+def test_mvn_trajectory_matches_reference():
+    """MvN with a single blue mover and stay-scripted reds is fully
+    deterministic: whole trajectories must match, including the
+    obstacle_penalty collided-flag semantics (sticky per-step penalty,
+    self-bump on stay — ctf.py:1231-1332)."""
+    from gym_multigrid.envs.ctf import CtFMvNEnv as RefEnv
+    from gym_multigrid.policy.ctf.heuristic import RwPolicy as RefRw
+
+    class StayPolicy(RefRw):
+        def act(self, observation=None, curr_pos=None):
+            return 0
+
+    for penalty, script in [
+        (0.0, [3, 3, 1, 4, 4, 2, 2, 1, 1, 3]),
+        # with penalty != 0 the very first 'stay' self-bump sets collided
+        (0.5, [0, 3, 3]),
+        # bump into a stationary red agent
+        (0.5, [3, 3]),
+    ]:
+        ref_env = RefEnv(
+            num_blue_agents=1,
+            num_red_agents=2,
+            map_path=MAP_PATH,
+            enemy_policies=StayPolicy(),
+            observation_option="flattened",
+            obstacle_penalty_ratio=penalty,
+        )
+        ref_env.reset(seed=0)
+        blue, reds = [9, 9], [[2, 2], [2, 4]]
+        for agent, pos in zip(ref_env.agents, [blue] + reds):
+            old = agent.pos
+            ref_env.grid.set(
+                int(old[0]), int(old[1]),
+                ref_env.init_grid.get(int(old[0]), int(old[1])),
+            )
+        for agent, pos in zip(ref_env.agents, [blue] + reds):
+            agent.pos = np.array(pos)
+            ref_env.grid.set(int(pos[0]), int(pos[1]), agent)
+        ref_env.step_count = 0
+
+        cfg = CtfConfig.from_map_path(
+            MAP_PATH, num_blue_agents=1, num_red_agents=2, variant="mvn",
+            observation_option="flattened",
+            enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
+            obstacle_penalty_ratio=penalty,
+        )
+        fns = make_ctf(cfg)
+        st = _our_state([blue] + reds)
+
+        for step_i, a in enumerate(script):
+            ref_obs, ref_r, ref_term, ref_trunc, _ = ref_env.step([a])
+            st, obs, r, term, trunc, info = fns.step_actions_fn(
+                st, jnp.asarray([a, 0, 0])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(st.pos[0]), np.asarray(ref_env.agents[0].pos),
+                err_msg=f"p={penalty} step {step_i} blue pos",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(obs, dtype=np.int64), np.asarray(ref_obs),
+                err_msg=f"p={penalty} step {step_i} obs",
+            )
+            assert float(r) == pytest.approx(float(ref_r)), (penalty, step_i)
+            assert bool(term) == bool(ref_term), (penalty, step_i)
+            assert bool(st.collided[0]) == bool(ref_env.agents[0].collided)
+            if ref_term or ref_trunc:
+                break
