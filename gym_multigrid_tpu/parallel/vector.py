@@ -151,7 +151,9 @@ def make_collect_batch(
     )
 
 
-def make_ctf_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
+def make_ctf_batch(
+    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+) -> BatchedEnv:
     """Batched CtF with in-graph scripted red policies; actions are the blue
     team's, shape (num_envs, num_blue)."""
     from gym_multigrid_tpu.envs.ctf import make_ctf
@@ -161,12 +163,18 @@ def make_ctf_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
     def step_one(state, blue_actions):
         return fns.step_fn(state, blue_actions)
 
+    step_batch = None
+    if use_pallas:
+        from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_step_batch
+
+        step_batch = make_ctf_step_batch(cfg)
     return BatchedEnv(
         reset_one=fns.reset_fn,
         step_one=step_one,
         encode_one=fns.obs_fn,
         num_envs=num_envs,
         auto_reset=auto_reset,
+        step_batch=step_batch,
         num_actions=5,
         actions_shape=(cfg.num_blue_agents,),
     )

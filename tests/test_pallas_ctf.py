@@ -1,0 +1,175 @@
+"""Fused CtF kernel tests: spec<->kernel bit-equality, spec<->XLA-core
+deterministic trajectory equality, and battle/policy distribution checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_multigrid_tpu.envs.ctf import CtfConfig, CtfState, PolicySpec, make_ctf
+from gym_multigrid_tpu.ops.pallas_ctf import (
+    _ctf_step_math,
+    ctf_static_inputs,
+    ctf_step_slab,
+    make_ctf_ktables,
+    make_ctf_step_batch,
+    rnd_width,
+)
+
+MAP_PATH = "tests/assets/board.txt"
+
+
+def _cfg(**kw):
+    kw.setdefault("num_blue_agents", 2)
+    kw.setdefault("num_red_agents", 2)
+    kw.setdefault("variant", "mvn")
+    kw.setdefault(
+        "enemy_policies",
+        tuple([PolicySpec("rw")] * kw["num_red_agents"]),
+    )
+    kw.setdefault("observation_option", "flattened")
+    return CtfConfig.from_map_path(MAP_PATH, **kw)
+
+
+def _arrays(cfg, pos, term=None, coll=None):
+    n = len(pos[0]) // 2 if False else len(pos)
+    B = len(pos)
+    A = cfg.num_agents
+    pos_a = jnp.asarray(pos, dtype=jnp.int32).reshape(B, 2 * A)
+    z = jnp.zeros((B, A), jnp.int32)
+    return (
+        pos_a,
+        jnp.full((B, A), 3, jnp.int32),
+        jnp.asarray(term, jnp.int32) if term is not None else z,
+        jnp.asarray(coll, jnp.int32) if coll is not None else z,
+    )
+
+
+@pytest.mark.parametrize(
+    "policies",
+    [("rw", "rw"), ("fight", "capture"), ("patrol", "patrol_fight")],
+)
+def test_ctf_kernel_matches_spec(policies):
+    cfg = _cfg(
+        enemy_policies=tuple(PolicySpec(k) for k in policies),
+        obstacle_penalty_ratio=0.5,
+    )
+    t = make_ctf_ktables(cfg)
+    cells, border, pool = ctf_static_inputs(cfg)
+    B = 16
+    rng = np.random.default_rng(0)
+    pos = rng.integers(0, 10, size=(B, 4, 2)).tolist()
+    pos_a, dirs, term, coll = _arrays(cfg, pos)
+    ba = jnp.asarray(rng.integers(0, 5, size=(B, 2)), jnp.int32)
+    rnd = jnp.asarray(rng.random((B, rnd_width(t))), jnp.float32)
+
+    want = _ctf_step_math(
+        t, pos_a, dirs, term, coll, ba, rnd, cells, border, pool
+    )
+    got = ctf_step_slab(
+        t, pos_a, dirs, term, coll, ba, rnd, cells, (border, pool), True
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_ctf_spec_matches_xla_core_deterministic():
+    """With stay-acting reds and a single blue mover the transition is
+    deterministic -> the kernel spec must reproduce the XLA core
+    (step_actions_fn) trajectory exactly."""
+    cfg = _cfg(num_blue_agents=1, num_red_agents=2, obstacle_penalty_ratio=0.0)
+    fns = make_ctf(cfg)
+    t = make_ctf_ktables(cfg)
+    cells, border, pool = ctf_static_inputs(cfg)
+
+    start = [[9, 3], [2, 2], [2, 4]]
+    script = [3, 3, 1, 1, 4, 4, 2, 2, 1, 1]
+
+    st = CtfState(
+        pos=jnp.asarray(start, jnp.int32),
+        dir=jnp.full((3,), 3, jnp.int32),
+        terminated=jnp.zeros((3,), bool),
+        collided=jnp.zeros((3,), bool),
+        step_count=jnp.int32(0),
+        key=jax.random.PRNGKey(0),
+    )
+    pos_a, dirs, term, coll = _arrays(cfg, [start])
+    rng = np.random.default_rng(1)
+
+    for step_i, a in enumerate(script):
+        st, obs, r, e_term, trunc, info = fns.step_actions_fn(
+            st, jnp.asarray([a, 0, 0])
+        )
+        # Spec path: rw red policies — force their action draws to 'stay'
+        # (u_a in [0, 0.2) -> action 0); everything else arbitrary.
+        rnd = jnp.asarray(rng.random((1, rnd_width(t))), jnp.float32)
+        rnd = rnd.at[0, 1 + 2].set(0.05).at[0, 1 + 5].set(0.05)
+        out = _ctf_step_math(
+            t, pos_a, dirs, term, coll,
+            jnp.asarray([[a]], jnp.int32), rnd, cells, border, pool,
+        )
+        pos_a, dirs, term, coll = out[0], out[1], out[2], out[3]
+        np.testing.assert_array_equal(
+            np.asarray(pos_a).reshape(3, 2), np.asarray(st.pos),
+            err_msg=f"step {step_i}",
+        )
+        assert float(out[4][0, 0]) == pytest.approx(float(r)), step_i
+        assert bool(out[5][0, 0]) == bool(e_term), step_i
+
+
+def test_ctf_kernel_battle_outcomes():
+    """randomness=1.0 battles: blue-in-own vs red-not-in-own always wins."""
+    cfg = _cfg(num_blue_agents=1, num_red_agents=1, randomness=1.0)
+    t = make_ctf_ktables(cfg)
+    cells, border, pool = ctf_static_inputs(cfg)
+    fm = cfg.field_map
+    blue_cell = np.argwhere(fm == 0)[0]
+    pos = [[[int(blue_cell[0]), int(blue_cell[1])],
+            [int(blue_cell[0]), int(blue_cell[1]) + 1]]]
+    pos_a, dirs, term, coll = _arrays(cfg, pos)
+    red_in_own = fm[int(blue_cell[0]), int(blue_cell[1]) + 1] == 1
+    if red_in_own:
+        pytest.skip("adjacent cell is red territory on this board")
+    rnd = jnp.full((1, rnd_width(t)), 0.99, jnp.float32)
+    rnd = rnd.at[0, 3].set(0.05)  # red rw action draw -> stay
+    out = _ctf_step_math(
+        t, pos_a, dirs, term, coll, jnp.asarray([[0]], jnp.int32),
+        rnd, cells, border, pool,
+    )
+    term_out = np.asarray(out[2])
+    # u=0.99 < p_blue=1.0 -> blue wins, red terminated
+    assert term_out[0, 1] == 1 and term_out[0, 0] == 0
+    assert float(out[4][0, 0]) == pytest.approx(
+        cfg.battle_reward - cfg.step_penalty
+    )
+
+
+def test_ctf_step_batch_episodes():
+    cfg = _cfg(enemy_policies=(PolicySpec("fight"), PolicySpec("rw")))
+    from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+
+    env = make_ctf_batch(cfg, 16, use_pallas=True)
+    assert env.step_batch is not None
+    states, obs = env.reset(jax.random.PRNGKey(0))
+    states, metrics = env.rollout(states, jax.random.PRNGKey(1), 60)
+    assert np.isfinite(float(metrics["reward_sum"]))
+    assert int(metrics["episodes"]) >= 0
+
+
+def test_ctf_pallas_xla_distribution_agreement():
+    """Aggregate reward rates agree between the fused kernel and the XLA
+    path (streams differ; expectations must not)."""
+    cfg = _cfg(enemy_policies=(PolicySpec("capture"), PolicySpec("rw")))
+    from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+
+    n, steps = 48, 50
+
+    def rate(use_pallas, seed):
+        env = make_ctf_batch(cfg, n, use_pallas=use_pallas)
+        states, _ = env.reset(jax.random.PRNGKey(seed))
+        states, m = env.rollout(states, jax.random.PRNGKey(seed + 1), steps)
+        return float(m["reward_sum"]) / (n * steps)
+
+    rx = np.mean([rate(False, s) for s in range(3)])
+    rp = np.mean([rate(True, s) for s in range(3)])
+    assert abs(rx - rp) < 0.02, (rx, rp)
