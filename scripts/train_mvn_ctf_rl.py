@@ -54,7 +54,9 @@ def main() -> None:
         enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
         observation_option="flattened",
     )
-    env = make_ctf_batch(cfg, args.envs, auto_reset=True)
+    # The fused CtF kernel needs real TPU hardware; XLA path elsewhere.
+    use_pallas = jax.default_backend() not in ("cpu",)
+    env = make_ctf_batch(cfg, args.envs, auto_reset=True, use_pallas=use_pallas)
     net = ActorCritic(num_actions=5, num_agents=cfg.num_blue_agents)
     ppo_cfg = PPOConfig(rollout_len=args.rollout_len, num_epochs=2)
     init_fn, train_step = make_ppo(env, net, ppo_cfg)
