@@ -127,7 +127,7 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
         )
 
     def step_fn(state: WildfireState, actions: jax.Array):
-        key, k_perm, k_spread, k_burn = jax.random.split(state.key, 4)
+        key, k_perm, k_cells = jax.random.split(state.key, 3)
         actions = jnp.clip(
             jnp.asarray(actions).reshape(n_agents).astype(jnp.int32), 0, 4
         )
@@ -146,20 +146,24 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
             moved = ~occupied & jnp.any(nxt != p)
             pos = pos.at[i].set(jnp.where(moved, nxt, p))
 
-        # 2. extinguish
-        agent_mask = (
-            jnp.zeros((h * w,), dtype=bool)
-            .at[pos[:, 1] * w + pos[:, 0]]
-            .set(True)
-            .reshape(h, w)
-        )
+        # 2. extinguish — agent occupancy as one-hot lane compares (a tiny
+        # dynamic scatter lowers poorly on TPU)
+        flat = (pos[:, 1] * w + pos[:, 0])  # (n_agents,)
+        cell_idx = jnp.arange(h * w, dtype=jnp.int32)
+        agent_mask = jnp.zeros((h * w,), dtype=bool)
+        for i in range(n_agents):
+            agent_mask = agent_mask | (cell_idx == flat[i])
+        agent_mask = agent_mask.reshape(h, w)
         put_out = agent_mask & (cells == FIRE)
         n_ext = jnp.sum(put_out.astype(jnp.int32))
         cells = jnp.where(put_out, BURNT, cells)
 
-        # 3. spread — 4-neighbor burning count stencil
+        # 3+4. spread + burnout share ONE uniform field: ignition reads it
+        # at TREE cells, burnout at FIRE cells — disjoint sets, so the
+        # per-cell draws stay independent with half the PRNG work.
         # (jnp.roll wraps, so zero the wrapped rows/cols: the board edge is
-        # not toroidal).
+        # not toroidal.)
+        u = jax.random.uniform(k_cells, (h, w))
         fire = (cells == FIRE).astype(jnp.float32)
         up = jnp.roll(fire, 1, axis=0).at[0, :].set(0.0)
         down = jnp.roll(fire, -1, axis=0).at[h - 1, :].set(0.0)
@@ -167,16 +171,10 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
         right = jnp.roll(fire, -1, axis=1).at[:, w - 1].set(0.0)
         n_burning = up + down + left + right
         p_ignite = 1.0 - (1.0 - cfg.p_spread) ** n_burning
-        ignite = (
-            (cells == TREE)
-            & (jax.random.uniform(k_spread, (h, w)) < p_ignite)
-        )
+        ignite = (cells == TREE) & (u < p_ignite)
         n_ignited = jnp.sum(ignite.astype(jnp.int32))
 
-        # 4. burnout of pre-existing fires
-        burnout = (cells == FIRE) & (
-            jax.random.uniform(k_burn, (h, w)) < cfg.p_burnout
-        )
+        burnout = (cells == FIRE) & (u < cfg.p_burnout)
         cells = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells))
 
         reward = (
