@@ -63,17 +63,20 @@ def sharded_rollout(
                 actions_shape=actions_shape,
             )
             # Cross-shard scalar reductions ride the interconnect; the env
-            # math itself never communicates.
+            # math itself never communicates.  The per-env running-return
+            # accumulator stays shard-local (batch-sharded like states).
+            run_return = metrics.pop("run_return")
             metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
-            return states, metrics
+            return states, metrics, run_return
 
         state_spec = jax.tree_util.tree_map(lambda _: P(axis), states)
-        return jax.shard_map(
+        states, metrics, run_return = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(state_spec, P()),
-            out_specs=(state_spec, P()),
+            out_specs=(state_spec, P(), P(axis)),
             check_vma=False,
         )(states, key)
+        return states, dict(metrics, run_return=run_return)
 
     return rollout_fn

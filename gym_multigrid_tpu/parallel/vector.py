@@ -93,21 +93,35 @@ class BatchedEnv:
         policy: Callable | None = None,
         num_actions: int | None = None,
         actions_shape: tuple[int, ...] | None = None,
+        run_return: jax.Array | None = None,
     ):
         """Scan ``num_steps`` lockstep steps.
 
         policy(key, obs_states) -> actions; defaults to uniform random
         actions over THIS env's action space (num_actions/actions_shape
         default to the fields the family builder set). Returns
-        (final_states, metrics dict of summed rewards/episodes).
+        (final_states, metrics) where metrics carries the summed rewards
+        plus per-episode return accounting that stays correct across the
+        auto-reset boundary (SURVEY.md §7 "hard parts"):
+
+        - ``reward_sum``: scalar, all team rewards in this call.
+        - ``episodes``: scalar int, episodes COMPLETED in this call.
+        - ``ep_return_sum``: scalar, summed full-episode returns of those
+          completed episodes — ``ep_return_sum / episodes`` is the mean
+          episode return RL users watch.  Scalars are psum-able.
+        - ``run_return``: (num_envs,) running return of each env's
+          episode in progress; feed it back via the ``run_return`` arg on
+          the next call so episodes spanning call boundaries stay exact.
         """
         num_actions = self.num_actions if num_actions is None else num_actions
         actions_shape = (
             self.actions_shape if actions_shape is None else actions_shape
         )
+        if run_return is None:
+            run_return = jnp.zeros((self.num_envs,), jnp.float32)
 
         def body(carry, _):
-            states, key, ret_sum, ep_count = carry
+            states, key, ret_sum, ep_count, ep_ret_sum, run_ret = carry
             key, k_act = jax.random.split(key)
             if policy is None:
                 actions = jax.random.randint(
@@ -116,16 +130,34 @@ class BatchedEnv:
             else:
                 actions = policy(k_act, states)
             states, obs, rewards, term, trunc = self.step(states, actions)
+            # Per-agent rewards sum into a team return (same convention as
+            # the PPO learner); scalar rewards pass through.
+            team = rewards.sum(axis=-1) if rewards.ndim > 1 else rewards
+            run_ret = run_ret + team.astype(jnp.float32)
             done = term | trunc
             ret_sum = ret_sum + rewards.sum()
             ep_count = ep_count + done.sum()
-            return (states, key, ret_sum, ep_count), None
+            ep_ret_sum = ep_ret_sum + jnp.where(done, run_ret, 0.0).sum()
+            run_ret = jnp.where(done, 0.0, run_ret)
+            return (states, key, ret_sum, ep_count, ep_ret_sum, run_ret), None
 
-        init = (states, key, jnp.float32(0.0), jnp.int32(0))
-        (states, _, ret_sum, ep_count), _ = jax.lax.scan(
+        init = (
+            states,
+            key,
+            jnp.float32(0.0),
+            jnp.int32(0),
+            jnp.float32(0.0),
+            run_return,
+        )
+        (states, _, ret_sum, ep_count, ep_ret_sum, run_ret), _ = jax.lax.scan(
             body, init, None, length=num_steps
         )
-        return states, {"reward_sum": ret_sum, "episodes": ep_count}
+        return states, {
+            "reward_sum": ret_sum,
+            "episodes": ep_count,
+            "ep_return_sum": ep_ret_sum,
+            "run_return": run_ret,
+        }
 
 
 def make_collect_batch(

@@ -30,6 +30,10 @@ class PPOConfig:
     ent_coef: float = 0.01
     rollout_len: int = 32
     num_epochs: int = 1
+    # SB3-style minibatch SGD: each epoch shuffles the (T*B) buffer and
+    # takes one clipped gradient step per minibatch.  1 = full-batch
+    # (previous behavior).  Must divide rollout_len * num_envs.
+    num_minibatches: int = 1
     max_grad_norm: float = 0.5
 
 
@@ -78,7 +82,15 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
             # observation BEFORE auto-reset (time limits are not true
             # terminals — zeroing the bootstrap there biases GAE on
             # fixed-horizon envs, where every episode ends by truncation).
-            _, boot_value = net.apply(params, step_obs)
+            # Only consumed where trunc is set, so the extra forward is
+            # gated behind a batch-level cond — on the (vast majority of)
+            # steps where no env truncates it costs nothing.
+            boot_value = jax.lax.cond(
+                jnp.any(trunc),
+                lambda o: net.apply(params, o)[1],
+                lambda o: jnp.zeros(o.shape[:1], jnp.float32),
+                step_obs,
+            )
             tr = Transition(
                 obs=obs,
                 actions=actions,
@@ -123,20 +135,20 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
         returns = advantages + traj.value
         return advantages, returns
 
-    def _loss(params, traj: Transition, advantages, returns):
-        T, B = traj.reward.shape
-        obs = traj.obs.reshape((T * B,) + traj.obs.shape[2:])
+    def _loss(params, mb):
+        """Clipped PPO loss over one flat minibatch of (n,) samples."""
+        obs, actions, old_logp, advantages, returns = mb
         logits, value = net.apply(params, obs)
-        logits = logits.reshape((T, B) + logits.shape[1:])
-        value = value.reshape(T, B)
 
         logp_all = jax.nn.log_softmax(logits, axis=-1)
         chosen = jnp.take_along_axis(
-            logp_all, traj.actions[..., None], axis=-1
+            logp_all, actions[..., None], axis=-1
         ).squeeze(-1)
         logp = chosen.sum(axis=-1)
 
-        ratio = jnp.exp(logp - traj.logp)
+        ratio = jnp.exp(logp - old_logp)
+        # Advantage normalization is per-minibatch, matching SB3's
+        # normalize_advantage=True update semantics.
         adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
@@ -149,28 +161,71 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
             "pg_loss": pg_loss,
             "v_loss": v_loss,
             "entropy": entropy,
-            "reward_per_step": traj.reward.mean(),
         }
 
     def train_step(params, opt_state, states, key):
-        """One PPO iteration: rollout + GAE + update. Fully jittable."""
-        key, k_roll = jax.random.split(key)
+        """One PPO iteration: rollout + GAE + minibatched update. Jittable.
+
+        Update semantics follow SB3 PPO (the reference training script's
+        learner, reference scripts/main_mvn_ctf_rl.py:30-34): per epoch the
+        (rollout_len × num_envs) buffer is shuffled and split into
+        ``num_minibatches`` slices, one clipped gradient step each.
+        """
+        key, k_roll, k_perm = jax.random.split(key, 3)
         states, traj, last_value = _rollout(params, states, k_roll)
         advantages, returns = _gae(traj, last_value)
 
-        def one_epoch(carry, _):
+        T, B = traj.reward.shape
+        n = T * B
+        assert n % cfg.num_minibatches == 0, (
+            f"rollout_len*num_envs={n} not divisible by "
+            f"num_minibatches={cfg.num_minibatches}"
+        )
+        mb_size = n // cfg.num_minibatches
+
+        flat = (
+            traj.obs.reshape((n,) + traj.obs.shape[2:]),
+            traj.actions.reshape((n,) + traj.actions.shape[2:]),
+            traj.logp.reshape(n),
+            advantages.reshape(n),
+            returns.reshape(n),
+        )
+
+        def one_epoch(carry, k_ep):
             params, opt_state = carry
-            (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(
-                params, traj, advantages, returns
+            # Fresh shuffle per epoch; static minibatch count -> scan over
+            # the (num_minibatches, mb_size, ...) leading axis.
+            perm = jax.random.permutation(k_ep, n)
+            mbs = jax.tree_util.tree_map(
+                lambda x: x[perm].reshape(
+                    (cfg.num_minibatches, mb_size) + x.shape[1:]
+                ),
+                flat,
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+
+            def one_minibatch(carry, mb):
+                params, opt_state = carry
+                (_, metrics), grads = jax.value_and_grad(
+                    _loss, has_aux=True
+                )(params, mb)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                one_minibatch, (params, opt_state), mbs
+            )
+            # Mean over the epoch's minibatches.
+            metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
             return (params, opt_state), metrics
 
         (params, opt_state), metrics = jax.lax.scan(
-            one_epoch, (params, opt_state), None, length=cfg.num_epochs
+            one_epoch,
+            (params, opt_state),
+            jax.random.split(k_perm, cfg.num_epochs),
         )
         metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        metrics["reward_per_step"] = traj.reward.mean()
         return params, opt_state, states, key, metrics
 
     return init_fn, train_step

@@ -34,7 +34,9 @@ def save_pytree(path: str, tree: Any) -> None:
 def load_pytree(path: str) -> Any:
     """Restore a pytree saved with :func:`save_pytree`."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
-    leaves = [data[k] for k in data.files]
+    # savez names leaves arr_0..arr_N; data.files order is not contractual,
+    # so sort by the numeric index explicitly before unflattening.
+    leaves = [data[k] for k in sorted(data.files, key=lambda k: int(k[4:]))]
     with open(_treedef_path(path), "rb") as f:
         treedef = pickle.load(f)
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -62,13 +62,36 @@ def main() -> None:
     init_fn, train_step = make_ppo(env, net, ppo_cfg)
 
     params, opt_state, states = init_fn(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
     model_path = os.path.join(args.out, "models", "ctf_ppo")
     if os.path.exists(model_path + ".npz"):
-        params = load_pytree(model_path)
-        print(f"resumed params from {model_path}.npz")
+        # Full-tuple resume: params + Adam moments + env states + RNG key
+        # snapshot together (utils/checkpoint.py), so a resumed run
+        # continues bit-exactly.  A legacy params-only .npz (or a snapshot
+        # taken at a different --envs) degrades to params-only.
+        ckpt = load_pytree(model_path)
+        if isinstance(ckpt, dict) and "params" in ckpt:
+            params = ckpt["params"]
+            same_batch = jax.tree_util.tree_leaves(ckpt["states"])[0].shape[
+                0
+            ] == jax.tree_util.tree_leaves(states)[0].shape[0]
+            if same_batch:
+                opt_state, states, key = (
+                    ckpt["opt_state"],
+                    ckpt["states"],
+                    ckpt["key"],
+                )
+                print(f"resumed full state from {model_path}.npz")
+            else:
+                print(
+                    f"resumed params only from {model_path}.npz "
+                    "(env batch size changed)"
+                )
+        else:
+            params = ckpt
+            print(f"resumed params only from legacy {model_path}.npz")
 
     step = jax.jit(train_step, donate_argnums=(1, 2))
-    key = jax.random.PRNGKey(1)
     env_steps_per_iter = args.envs * args.rollout_len
     t0 = time.perf_counter()
     for it in range(args.iters):
@@ -86,8 +109,11 @@ def main() -> None:
                 f"env-steps/s {sps:,.0f}"
             )
 
-    save_pytree(model_path, params)
-    print(f"saved params to {model_path}.npz")
+    save_pytree(
+        model_path,
+        {"params": params, "opt_state": opt_state, "states": states, "key": key},
+    )
+    print(f"saved full training state to {model_path}.npz")
 
     # Greedy rollout gif through the reference-compatible adapter.
     from gym_multigrid_tpu.envs import CtFMvNEnv

@@ -93,6 +93,85 @@ def test_auto_reset_produces_fresh_episodes():
     assert int(jnp.max(states.step_count)) == 0
 
 
+def test_episode_returns_fixed_horizon_aligned():
+    """On a fixed-horizon config with the rollout aligned to episode
+    boundaries, every reward belongs to a completed episode: episodes =
+    num_envs * (steps / max_steps) exactly and ep_return_sum == reward_sum
+    (SURVEY.md §7 hard-parts bullet: metrics across the auto-reset)."""
+    cfg = CollectConfig(layout="rooms", fixed_horizon=True, max_steps=10)
+    env = make_collect_batch(cfg, num_envs=8)
+    states, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    run = jax.jit(lambda s, k: env.rollout(s, k, 30))
+    states, metrics = run(states, jax.random.PRNGKey(1))
+    assert int(metrics["episodes"]) == 8 * 3
+    np.testing.assert_allclose(
+        float(metrics["ep_return_sum"]), float(metrics["reward_sum"]), rtol=1e-5
+    )
+    # All episodes completed at the call boundary -> no return in flight.
+    np.testing.assert_allclose(np.asarray(metrics["run_return"]), 0.0, atol=1e-6)
+
+
+def test_episode_returns_match_stepwise_oracle():
+    """ep_return_sum/episodes from the scanned rollout must equal a
+    step-by-step host loop replaying the same key stream (exact, including
+    episodes that end mid-call on a terminating config)."""
+    cfg = CollectConfig(layout="quadrants", max_steps=15)
+    env = make_collect_batch(cfg, num_envs=6)
+    states0, _ = jax.jit(env.reset)(jax.random.PRNGKey(2))
+
+    num_steps = 40
+    states, metrics = jax.jit(lambda s, k: env.rollout(s, k, num_steps))(
+        states0, jax.random.PRNGKey(3)
+    )
+
+    # Oracle: identical loop, un-scanned.
+    key = jax.random.PRNGKey(3)
+    st = states0
+    run_ret = np.zeros(6, np.float32)
+    exp_sum, exp_count, exp_reward = 0.0, 0, 0.0
+    step = jax.jit(env.step)
+    for _ in range(num_steps):
+        key, k_act = jax.random.split(key)
+        actions = jax.random.randint(k_act, (6, 2), 0, 4)
+        st, obs, rew, term, trunc = step(st, actions)
+        team = np.asarray(rew).sum(axis=-1)
+        done = np.asarray(term | trunc)
+        run_ret += team
+        exp_reward += float(np.asarray(rew).sum())
+        exp_sum += float(run_ret[done].sum())
+        exp_count += int(done.sum())
+        run_ret[done] = 0.0
+
+    assert int(metrics["episodes"]) == exp_count
+    np.testing.assert_allclose(float(metrics["ep_return_sum"]), exp_sum, rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["reward_sum"]), exp_reward, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(metrics["run_return"]), run_ret, rtol=1e-5
+    )
+
+
+def test_episode_returns_carry_across_calls():
+    """Feeding run_return back in makes split rollouts equal one long one."""
+    cfg = CollectConfig(layout="rooms", fixed_horizon=True, max_steps=10)
+    env = make_collect_batch(cfg, num_envs=4)
+    states, _ = jax.jit(env.reset)(jax.random.PRNGKey(4))
+
+    # One 15-step call: episode 1 completes at t=10, 5 steps in flight.
+    s_a, m_a = jax.jit(lambda s, k: env.rollout(s, k, 15))(
+        states, jax.random.PRNGKey(5)
+    )
+    # Continue 5 more steps, carrying the in-flight returns: the second
+    # episode completes; totals must account for every reward exactly once.
+    s_b, m_b = jax.jit(lambda s, k, rr: env.rollout(s, k, 5, run_return=rr))(
+        s_a, jax.random.PRNGKey(6), m_a["run_return"]
+    )
+    total_eps = int(m_a["episodes"]) + int(m_b["episodes"])
+    assert total_eps == 4 * 2
+    total_ep_ret = float(m_a["ep_return_sum"]) + float(m_b["ep_return_sum"])
+    total_reward = float(m_a["reward_sum"]) + float(m_b["reward_sum"])
+    np.testing.assert_allclose(total_ep_ret, total_reward, rtol=1e-5)
+
+
 def test_sharded_rollout_on_mesh():
     """Env batch sharded over the 'data' axis of an 8-device mesh; the whole
     rollout executes under jit with GSPMD-partitioned state."""
