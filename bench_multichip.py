@@ -1,0 +1,268 @@
+"""Weak-scaling benchmark: per-chip throughput + efficiency over an n-device mesh.
+
+The BASELINE target (BASELINE.md: >=90% weak-scaling efficiency at >=2
+devices) needs an instrument: this script runs the explicit-collective
+sharded rollout (parallel/shard.py) at a FIXED per-device env batch for
+device counts 1..N and reports per-chip agent-steps/s and efficiency vs the
+1-device run.  The env math is embarrassingly parallel — only the scalar
+metric psums cross the interconnect — so efficiency measures runtime/
+dispatch overhead, which is exactly what weak scaling is supposed to expose.
+
+Hardware selection:
+- Enough real TPU chips for --devices: runs on them (ICI collectives).
+- Otherwise (this environment has ONE real chip behind a tunnel): falls
+  back to a virtual CPU mesh via --xla_force_host_platform_device_count,
+  the same mechanism the test suite uses.  The sharding program is
+  identical either way; only the per-chip constant differs.
+
+Usage:
+  python bench_multichip.py [--devices 8] [--per-device-envs 512]
+                            [--steps 100] [--family collect] [--json-only]
+
+Prints ONE JSON line:
+  {"metric": "weak-scaling efficiency (...)", "value": eff@N, "unit":
+   "fraction", "vs_baseline": eff/0.90, "detail": {n: {...}, ...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--per-device-envs", type=int, default=512)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--reps", type=int, default=4)
+    p.add_argument(
+        "--family",
+        default="collect",
+        choices=["collect", "ctf", "maze", "wildfire"],
+    )
+    p.add_argument(
+        "--points",
+        default=None,
+        help="comma-separated device counts to measure (default: 1,2,4,..,N)",
+    )
+    p.add_argument("--json-only", action="store_true")
+    return p.parse_args(argv)
+
+
+def _device_points(n: int, spec: str | None):
+    if spec:
+        return [int(x) for x in spec.split(",")]
+    pts, d = [], 1
+    while d < n:
+        pts.append(d)
+        d *= 2
+    pts.append(n)
+    return sorted(set(pts))
+
+
+def build_env(family: str, num_envs: int, use_pallas: bool):
+    """(BatchedEnv, agents_per_env) for one family's benchmark config."""
+    if family == "collect":
+        from gym_multigrid_tpu.envs.collect import CollectConfig
+        from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+        cfg = CollectConfig(
+            layout="quadrants_respawn", respawn=True, max_steps=50
+        )
+        return (
+            make_collect_batch(cfg, num_envs, use_pallas=use_pallas),
+            cfg.num_agents,
+        )
+    if family == "ctf":
+        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+        from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+
+        cfg = CtfConfig.from_map_path(
+            os.path.join(os.path.dirname(__file__), "tests/assets/board.txt"),
+            num_blue_agents=2,
+            num_red_agents=2,
+            variant="mvn",
+            enemy_policies=(PolicySpec("fight"), PolicySpec("rw")),
+            observation_option="flattened",
+        )
+        return (
+            make_ctf_batch(cfg, num_envs, use_pallas=use_pallas),
+            cfg.num_agents,
+        )
+    if family == "maze":
+        from gym_multigrid_tpu.envs.maze import MazeConfig
+        from gym_multigrid_tpu.parallel.vector import make_maze_batch
+
+        cfg = MazeConfig.from_map_path(
+            os.path.join(
+                os.path.dirname(__file__), "tests/assets/board_maze.txt"
+            ),
+            max_steps=100,
+        )
+        return make_maze_batch(cfg, num_envs), 1
+    if family == "wildfire":
+        from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+        from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+        cfg = WildfireConfig(size=16, max_steps=100)
+        return make_wildfire_batch(cfg, num_envs), cfg.num_agents
+    raise ValueError(family)
+
+
+def measure_point(
+    family: str,
+    n_devices: int,
+    per_device_envs: int,
+    steps: int,
+    reps: int,
+    use_pallas: bool,
+):
+    """Per-chip agent-steps/s for one mesh size at fixed per-device batch."""
+    import jax
+
+    from gym_multigrid_tpu.parallel.mesh import make_mesh, shard_batch_tree
+    from gym_multigrid_tpu.parallel.shard import sharded_rollout
+
+    num_envs = per_device_envs * n_devices
+    env, agents = build_env(family, num_envs, use_pallas)
+    mesh = make_mesh(n_devices, model_parallel=1)
+
+    states, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    states = shard_batch_tree(states, mesh)
+    rollout = sharded_rollout(env, mesh)
+    run = jax.jit(lambda s, k: rollout(s, k, steps))
+
+    states, metrics = run(states, jax.random.PRNGKey(1))  # compile + warm
+    jax.block_until_ready(metrics["reward_sum"])
+    t0 = time.perf_counter()
+    for r in range(reps):
+        states, metrics = run(states, jax.random.PRNGKey(2 + r))
+    jax.block_until_ready(metrics["reward_sum"])
+    dt = time.perf_counter() - t0
+
+    agent_steps = num_envs * steps * reps * agents
+    return {
+        "devices": n_devices,
+        "envs": num_envs,
+        "agent_steps_per_sec": agent_steps / dt,
+        "per_chip": agent_steps / dt / n_devices,
+    }
+
+
+def run_weak_scaling(
+    family: str = "collect",
+    devices: int = 8,
+    per_device_envs: int = 512,
+    steps: int = 100,
+    reps: int = 4,
+    points: list[int] | None = None,
+    verbose: bool = True,
+):
+    """Measure each device count; return (results_by_n, efficiency@max)."""
+    import jax
+
+    backend = jax.default_backend()
+    use_pallas = backend not in ("cpu",)
+    pts = points or _device_points(devices, None)
+    assert max(pts) <= len(jax.devices()), (
+        f"need {max(pts)} devices, have {len(jax.devices())} ({backend})"
+    )
+
+    results = {}
+    for n in pts:
+        r = measure_point(
+            family, n, per_device_envs, steps, reps, use_pallas
+        )
+        r["efficiency"] = r["per_chip"] / results[pts[0]]["per_chip"] if results else 1.0
+        results[n] = r
+        if verbose:
+            print(
+                f"  {family} @ {n} dev ({backend}): "
+                f"{r['agent_steps_per_sec']:,.0f} agent-steps/s total, "
+                f"{r['per_chip']:,.0f}/chip, eff {r['efficiency']:.3f}",
+                file=sys.stderr,
+            )
+    eff = results[max(pts)]["efficiency"]
+    return results, eff
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    # The virtual-device flag must be set before jax initializes; harmless
+    # when real TPUs end up selected (it only affects the cpu platform).
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices}"
+    ).strip()
+
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    if args.devices > 1 and os.environ.get("BENCH_REAL_MULTICHIP") != "1":
+        # This environment exposes ONE real chip behind a tunnel, and the
+        # platform choice must flip BEFORE any jax op initializes the
+        # backend — so multi-chip points default to the virtual CPU mesh.
+        # On a real pod slice set BENCH_REAL_MULTICHIP=1 to use the TPUs.
+        jax.config.update("jax_platforms", "cpu")
+        print(
+            f"using a {args.devices}-device virtual CPU mesh "
+            "(set BENCH_REAL_MULTICHIP=1 on real multi-chip hardware)",
+            file=sys.stderr,
+        )
+
+    results, eff = run_weak_scaling(
+        family=args.family,
+        devices=args.devices,
+        per_device_envs=args.per_device_envs,
+        steps=args.steps,
+        reps=args.reps,
+        points=_device_points(args.devices, args.points),
+        verbose=not args.json_only,
+    )
+    n_max = max(results)
+    cores = os.cpu_count() or 1
+    if jax.default_backend() == "cpu" and n_max > cores:
+        # On the virtual mesh each "device" is a host thread; past the
+        # physical core count the efficiency measures oversubscription of
+        # this machine, not the sharding program.  Real-ICI numbers need
+        # real chips (BENCH_REAL_MULTICHIP=1 on a pod slice).
+        print(
+            f"note: {n_max} virtual devices > {cores} physical cores; "
+            "efficiency past the core count reflects host oversubscription",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"weak-scaling efficiency ({args.family}, "
+                    f"{n_max} devices, {args.per_device_envs} envs/device, "
+                    f"{jax.default_backend()})"
+                ),
+                "value": round(eff, 4),
+                "unit": "fraction",
+                "vs_baseline": round(eff / 0.90, 3),
+                "physical_cores": cores,
+                "detail": {
+                    str(n): {
+                        "agent_steps_per_sec": round(r["agent_steps_per_sec"], 1),
+                        "per_chip": round(r["per_chip"], 1),
+                        "efficiency": round(r["efficiency"], 4),
+                    }
+                    for n, r in results.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
