@@ -64,6 +64,23 @@ def _make_runner(family: str, batch: int, steps: int, use_pallas: bool):
             cfg.num_agents,
         )
 
+    if family == "wildfire" and use_pallas:
+        # Fused multi-step kernel with in-kernel per-env auto-reset.
+        from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+        from gym_multigrid_tpu.ops.pallas_wildfire import (
+            make_wildfire_episode_rollout,
+        )
+        from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+        cfg = WildfireConfig(size=16, max_steps=100)
+        env = make_wildfire_batch(cfg, batch)
+        rollout = make_wildfire_episode_rollout(cfg)
+        return (
+            jax.jit(lambda k: env.reset(k)[0]),
+            jax.jit(lambda s, k: rollout(s, k, steps)),
+            cfg.num_agents,
+        )
+
     env, agents = build_env(family, batch, use_pallas)
     return (
         jax.jit(lambda k: env.reset(k)[0]),
@@ -113,7 +130,14 @@ def main(argv=None):
         from gym_multigrid_tpu.ops import kernels_available
 
         has_kernel = on_tpu and kernels_available(family)
-        if has_kernel:
+        if family == "wildfire" and on_tpu:
+            # The batched-math XLA path (spread stencil as one MXU matmul)
+            # measures faster than the fused kernel here: 61.7M vs 33.5M
+            # agent-steps/s on v5e @ 8192 — XLA is the headline path.
+            paths.append(("xla", False))
+            if args.xla_also and has_kernel:
+                paths.append(("pallas", True))
+        elif has_kernel:
             paths.append(("pallas", True))
             if args.xla_also:
                 paths.append(("xla", False))

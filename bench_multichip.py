@@ -109,7 +109,10 @@ def build_env(family: str, num_envs: int, use_pallas: bool):
         from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
 
         cfg = WildfireConfig(size=16, max_steps=100)
-        return make_wildfire_batch(cfg, num_envs), cfg.num_agents
+        return (
+            make_wildfire_batch(cfg, num_envs, use_pallas=use_pallas),
+            cfg.num_agents,
+        )
     raise ValueError(family)
 
 

@@ -23,17 +23,25 @@ are fixed here:
 * Obs: full-grid (W, H, 3) uint8 in the family encode convention
   (type, color, agent-dir), like Collect.
 
-TPU mapping: the spread step is a 4-neighbor count — one shifted-add
-stencil over the whole board — plus a per-cell Bernoulli; the entire
-transition is a fixed-shape fused elementwise program, ideal for vmapped
-batches (the per-agent move loop is the only sequential part, tiny and
-unrolled).
+TPU mapping.  The transition is written once, as batched (B, cells) math
+(:func:`wf_step_math` / :func:`wf_reset_math`) shared verbatim by three
+consumers: the per-env functional core below (B=1 rows), the direct XLA
+batch step (``make_wildfire_step_batch``), and the fused Pallas kernels
+(ops/pallas_wildfire.py) — kernel ≡ spec is bit-compared in
+tests/test_pallas_wildfire.py.  The spread stencil is ONE MXU matmul
+against the static 4-neighbor adjacency matrix (no rolls, no gathers —
+edges fall out of the adjacency, and the same trick generalizes to any
+board topology); masked categorical draws use the tril-matmul prefix sum
+(Pallas TPU has no cumsum/scatter lowering); all randomness is pre-drawn
+uniforms so every consumer is a deterministic function of its inputs.
 """
 
 from __future__ import annotations
 
 import functools
+import itertools
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -96,103 +104,272 @@ class WildfireFns:
     encode_fn: callable
 
 
+class WfTables(NamedTuple):
+    """Static per-config tables (hashable; closed over by the kernels)."""
+
+    width: int
+    height: int
+    n_cells: int
+    n_agents: int
+    n_fires: int
+    tree_density: float
+    p_burnout: float
+    # (1-p_spread)^k for k = 0..4: the ignition survival table, selected by
+    # the integer neighbor count (exact f32 constants — no pow in-graph).
+    survival: tuple[float, float, float, float, float]
+    ext_reward: float
+    burn_penalty: float
+    step_penalty: float
+    max_steps: int
+    # all permutations of range(n_agents): move order = perms[floor(u*n!)]
+    perms: tuple[tuple[int, ...], ...]
+    # action id -> (dx, dy); stay/left/down/right/up (CTF_ACTION_TO_VEC,
+    # applied as x += vec[1], y += vec[0] like CtF)
+    action_dx: tuple[int, ...]
+    action_dy: tuple[int, ...]
+
+
+def wf_tables(cfg: WildfireConfig) -> WfTables:
+    assert cfg.num_agents <= 4, "move-order table supports <= 4 agents"
+    q = 1.0 - cfg.p_spread
+    return WfTables(
+        width=cfg.width,
+        height=cfg.height,
+        n_cells=cfg.width * cfg.height,
+        n_agents=cfg.num_agents,
+        n_fires=cfg.num_initial_fires,
+        tree_density=float(cfg.tree_density),
+        p_burnout=float(cfg.p_burnout),
+        survival=tuple(np.float32(q) ** k for k in range(5)),
+        ext_reward=float(cfg.ext_reward),
+        burn_penalty=float(cfg.burn_penalty),
+        step_penalty=float(cfg.step_penalty),
+        max_steps=int(cfg.max_steps),
+        perms=tuple(itertools.permutations(range(cfg.num_agents))),
+        action_dx=tuple(int(v[1]) for v in CTF_ACTION_TO_VEC),
+        action_dy=tuple(int(v[0]) for v in CTF_ACTION_TO_VEC),
+    )
+
+
+def adjacency(cfg_or_t) -> np.ndarray:
+    """(C, C) f32 4-neighbor adjacency of the board graph: the spread
+    stencil is fire_row @ adj (one MXU matmul, edges built in)."""
+    w, h = cfg_or_t.width, cfg_or_t.height
+    C = w * h
+    a = np.zeros((C, C), dtype=np.float32)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if y > 0:
+                a[i - w, i] = 1.0
+            if y < h - 1:
+                a[i + w, i] = 1.0
+            if x > 0:
+                a[i - 1, i] = 1.0
+            if x < w - 1:
+                a[i + 1, i] = 1.0
+    return a
+
+
+# rnd column layout per step: [u_perm] + [field_0..field_{C-1}]
+def step_rnd_width(t: WfTables) -> int:
+    return 1 + t.n_cells
+
+
+# reset rnd layout: [tree_0..tree_{C-1}] + [fire picks] + [agent picks]
+def reset_rnd_width(t: WfTables) -> int:
+    return t.n_cells + t.n_fires + t.n_agents
+
+
+def _masked_pick(mask, u, tril):
+    """One-hot of the floor(u*count)-th True lane of (B, C) ``mask``
+    (uniform over the set lanes; all-False rows pick nothing).  Prefix sums
+    run as a tril matmul — no cumsum lowering on Mosaic."""
+    mi = mask.astype(jnp.float32)
+    count = jnp.sum(mi, axis=1, keepdims=True)
+    r = jnp.minimum((u * count).astype(jnp.int32), count.astype(jnp.int32) - 1)
+    cum = jnp.dot(mi, tril, preferred_element_type=jnp.float32).astype(
+        jnp.int32
+    )
+    return (cum == r + 1) & mask
+
+
+def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
+    """One wildfire transition for a (B, C) slab.  Pure jax, Mosaic-safe.
+
+    cells: (B, C) int32 flat board (idx = y*width + x)
+    pos:   (B, 2*A) int32 [a0x, a0y, a1x, a1y, ...]
+    acts:  (B, A) int32
+    rnd:   (B, 1 + C) f32 uniforms [move-order, per-cell field]
+    adj:   (C, C) f32 4-neighbor adjacency
+
+    Returns (cells', pos', reward (B,1) f32 team reward, n_ext (B,1) i32,
+    terminated (B,1) int32).
+    """
+    B, C = cells.shape
+    A = t.n_agents
+    w = t.width
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+
+    # Move order: uniform index into the static permutation table (same
+    # distribution as jax.random.permutation over A elements).
+    n_perms = len(t.perms)
+    pidx = jnp.minimum(
+        (rnd[:, 0:1] * n_perms).astype(jnp.int32), n_perms - 1
+    )  # (B,1)
+
+    xs = [pos[:, 2 * i : 2 * i + 1] for i in range(A)]
+    ys = [pos[:, 2 * i + 1 : 2 * i + 2] for i in range(A)]
+    acts = jnp.clip(acts.astype(jnp.int32), 0, 4)
+
+    for slot in range(A):
+        # mover id for this slot varies per row with the sampled perm
+        i_vec = jnp.zeros((B, 1), jnp.int32)
+        for p_i, perm in enumerate(t.perms):
+            i_vec = jnp.where(pidx == p_i, perm[slot], i_vec)
+
+        def sel(cols):
+            out = jnp.zeros_like(cols[0])
+            for i in range(A):
+                out = jnp.where(i_vec == i, cols[i], out)
+            return out
+
+        act = sel([acts[:, i : i + 1] for i in range(A)])
+        px, py = sel(xs), sel(ys)
+        dx = jnp.zeros_like(act)
+        dy = jnp.zeros_like(act)
+        for a in range(5):
+            m = act == a
+            dx = jnp.where(m, int(t.action_dx[a]), dx)
+            dy = jnp.where(m, int(t.action_dy[a]), dy)
+        nx = jnp.clip(px + dx, 0, t.width - 1)
+        ny = jnp.clip(py + dy, 0, t.height - 1)
+        # blocked if ANY agent sits on the target (current positions:
+        # earlier movers already updated — sequential semantics)
+        occupied = jnp.zeros_like(act, dtype=bool)
+        for i in range(A):
+            occupied = occupied | ((nx == xs[i]) & (ny == ys[i]))
+        moved = ~occupied & ((nx != px) | (ny != py))
+        new_x = jnp.where(moved, nx, px)
+        new_y = jnp.where(moved, ny, py)
+        for i in range(A):
+            xs[i] = jnp.where(i_vec == i, new_x, xs[i])
+            ys[i] = jnp.where(i_vec == i, new_y, ys[i])
+
+    # Extinguish: agent occupancy via lane compares (no scatter).
+    occ = jnp.zeros((B, C), dtype=bool)
+    for i in range(A):
+        occ = occ | (lane == ys[i] * w + xs[i])
+    put_out = occ & (cells == FIRE)
+    n_ext = jnp.sum(put_out.astype(jnp.int32), axis=1, keepdims=True)
+    cells = jnp.where(put_out, BURNT, cells)
+
+    # Spread: neighbor fire count = one matmul; ignition probability via
+    # the survival table selected on the exact integer count (0..4).
+    u = rnd[:, 1 : 1 + C]
+    fire = (cells == FIRE).astype(jnp.float32)
+    nb = jnp.dot(fire, adj, preferred_element_type=jnp.float32)  # (B, C)
+    p_ig = jnp.zeros((B, C), jnp.float32)
+    for k in range(1, 5):
+        p_ig = jnp.where(nb == float(k), 1.0 - t.survival[k], p_ig)
+    ignite = (cells == TREE) & (u < p_ig)
+    n_ignited = jnp.sum(ignite.astype(jnp.int32), axis=1, keepdims=True)
+
+    # Burnout shares the field: burnout reads u at FIRE cells, ignition at
+    # TREE cells — disjoint, so the draws stay independent.
+    burnout = (cells == FIRE) & (u < t.p_burnout)
+    cells = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells))
+
+    reward = (
+        t.ext_reward * n_ext.astype(jnp.float32)
+        - t.burn_penalty * n_ignited.astype(jnp.float32)
+        - t.step_penalty
+    )
+    terminated = (
+        jnp.sum((cells == FIRE).astype(jnp.int32), axis=1, keepdims=True) == 0
+    ).astype(jnp.int32)
+
+    pos_out = jnp.concatenate(
+        [c for i in range(A) for c in (xs[i], ys[i])], axis=1
+    )
+    return cells, pos_out, reward, n_ext, terminated
+
+
+def wf_reset_math(t: WfTables, rnd, tril):
+    """Fresh boards for a (B, ·) slab of uniforms.  Pure jax, Mosaic-safe.
+
+    rnd: (B, C + n_fires + A) f32 — per-cell tree draws, then sequential
+    masked picks: initial fires uniform among trees without replacement,
+    agent spawns uniform among all cells without replacement (the same
+    distributions as bernoulli + Gumbel-top-k + choice(replace=False)).
+    Returns (cells (B, C), pos (B, 2*A)).
+    """
+    B = rnd.shape[0]
+    C = t.n_cells
+    w = t.width
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+
+    trees = rnd[:, :C] < t.tree_density
+    cells = jnp.where(trees, TREE, EMPTY)
+
+    avail = trees
+    for j in range(t.n_fires):
+        hit = _masked_pick(avail, rnd[:, C + j : C + j + 1], tril)
+        cells = jnp.where(hit, FIRE, cells)
+        avail = avail & ~hit
+
+    free = jnp.ones((B, C), dtype=bool)
+    pos_cols = []
+    base = C + t.n_fires
+    for i in range(t.n_agents):
+        hit = _masked_pick(free, rnd[:, base + i : base + i + 1], tril)
+        idx = jnp.sum(jnp.where(hit, lane, 0), axis=1, keepdims=True)
+        free = free & ~hit
+        pos_cols.extend([idx % w, idx // w])
+    return cells.astype(jnp.int32), jnp.concatenate(pos_cols, axis=1)
+
+
 def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
     h, w = cfg.height, cfg.width
     n_agents = cfg.num_agents
-    action_vec = jnp.asarray(CTF_ACTION_TO_VEC)  # (dy-ish, dx-ish) pairs
+    t = wf_tables(cfg)
+    C = t.n_cells
     agent_colors = jnp.asarray(np.array(cfg.agents_index, dtype=np.int32))
+    adj = jnp.asarray(adjacency(cfg))
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
 
     def reset_fn(key: jax.Array) -> WildfireState:
-        key, k_tree, k_fire, k_agent = jax.random.split(key, 4)
-        trees = jax.random.bernoulli(k_tree, cfg.tree_density, (h, w))
-        cells = jnp.where(trees, TREE, EMPTY).astype(jnp.int32)
-        # Ignite num_initial_fires cells, preferring trees (Gumbel top-k
-        # over the tree mask -> uniform among trees without replacement).
-        g = jax.random.gumbel(k_fire, (h * w,))
-        scores = jnp.where(trees.reshape(-1), g, g - 1e9)
-        fire_idx = jax.lax.top_k(scores, cfg.num_initial_fires)[1]
-        fire_mask = (
-            jnp.zeros((h * w,), dtype=bool).at[fire_idx].set(True).reshape(h, w)
-        )
-        cells = jnp.where(fire_mask & trees, FIRE, cells)
-        # Agents spawn uniformly at distinct cells.
-        spawn = jax.random.choice(k_agent, h * w, (n_agents,), replace=False)
-        agent_pos = jnp.stack([spawn % w, spawn // w], axis=1).astype(jnp.int32)
+        key, k_rnd = jax.random.split(key)
+        rnd = jax.random.uniform(k_rnd, (1, reset_rnd_width(t)))
+        cells, pos = wf_reset_math(t, rnd, tril)
         return WildfireState(
-            cells=cells,
-            agent_pos=agent_pos,
+            cells=cells.reshape(h, w),
+            agent_pos=pos.reshape(n_agents, 2),
             step_count=jnp.int32(0),
             extinguished=jnp.int32(0),
             key=key,
         )
 
     def step_fn(state: WildfireState, actions: jax.Array):
-        key, k_perm, k_cells = jax.random.split(state.key, 3)
-        actions = jnp.clip(
-            jnp.asarray(actions).reshape(n_agents).astype(jnp.int32), 0, 4
+        key, k_rnd = jax.random.split(state.key)
+        rnd = jax.random.uniform(k_rnd, (1, step_rnd_width(t)))
+        cells, pos, reward, n_ext, term = wf_step_math(
+            t,
+            state.cells.reshape(1, C),
+            state.agent_pos.reshape(1, 2 * n_agents),
+            jnp.asarray(actions).reshape(1, n_agents),
+            rnd,
+            adj,
         )
-        pos = state.agent_pos
-        cells = state.cells
-
-        # 1. moves — sequential random order, other agents block
-        perm = jax.random.permutation(k_perm, n_agents)
-        for t in range(n_agents):
-            i = perm[t]
-            p = pos[i]
-            delta = action_vec[actions[i]]
-            nxt = p + jnp.stack([delta[1], delta[0]])  # (x, y) move
-            nxt = jnp.clip(nxt, 0, jnp.asarray([w - 1, h - 1]))
-            occupied = jnp.any(jnp.all(pos == nxt[None, :], axis=1))
-            moved = ~occupied & jnp.any(nxt != p)
-            pos = pos.at[i].set(jnp.where(moved, nxt, p))
-
-        # 2. extinguish — agent occupancy as one-hot lane compares (a tiny
-        # dynamic scatter lowers poorly on TPU)
-        flat = (pos[:, 1] * w + pos[:, 0])  # (n_agents,)
-        cell_idx = jnp.arange(h * w, dtype=jnp.int32)
-        agent_mask = jnp.zeros((h * w,), dtype=bool)
-        for i in range(n_agents):
-            agent_mask = agent_mask | (cell_idx == flat[i])
-        agent_mask = agent_mask.reshape(h, w)
-        put_out = agent_mask & (cells == FIRE)
-        n_ext = jnp.sum(put_out.astype(jnp.int32))
-        cells = jnp.where(put_out, BURNT, cells)
-
-        # 3+4. spread + burnout share ONE uniform field: ignition reads it
-        # at TREE cells, burnout at FIRE cells — disjoint sets, so the
-        # per-cell draws stay independent with half the PRNG work.
-        # (jnp.roll wraps, so zero the wrapped rows/cols: the board edge is
-        # not toroidal.)
-        u = jax.random.uniform(k_cells, (h, w))
-        fire = (cells == FIRE).astype(jnp.float32)
-        up = jnp.roll(fire, 1, axis=0).at[0, :].set(0.0)
-        down = jnp.roll(fire, -1, axis=0).at[h - 1, :].set(0.0)
-        left = jnp.roll(fire, 1, axis=1).at[:, 0].set(0.0)
-        right = jnp.roll(fire, -1, axis=1).at[:, w - 1].set(0.0)
-        n_burning = up + down + left + right
-        p_ignite = 1.0 - (1.0 - cfg.p_spread) ** n_burning
-        ignite = (cells == TREE) & (u < p_ignite)
-        n_ignited = jnp.sum(ignite.astype(jnp.int32))
-
-        burnout = (cells == FIRE) & (u < cfg.p_burnout)
-        cells = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells))
-
-        reward = (
-            cfg.ext_reward * n_ext.astype(jnp.float32)
-            - cfg.burn_penalty * n_ignited.astype(jnp.float32)
-            - cfg.step_penalty
+        rewards = jnp.full(
+            (n_agents,), reward[0, 0] / n_agents, dtype=jnp.float32
         )
-        rewards = jnp.full((n_agents,), reward / n_agents, dtype=jnp.float32)
-
         step_count = state.step_count + 1
-        terminated = ~jnp.any(cells == FIRE)
-        truncated = step_count >= cfg.max_steps
-
         new_state = WildfireState(
-            cells=cells,
-            agent_pos=pos,
+            cells=cells.reshape(h, w),
+            agent_pos=pos.reshape(n_agents, 2),
             step_count=step_count,
-            extinguished=state.extinguished + n_ext,
+            extinguished=state.extinguished + n_ext[0, 0],
             key=key,
         )
         info = {
@@ -200,7 +377,14 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
             "burning": jnp.sum((cells == FIRE).astype(jnp.int32)),
             "burnt": jnp.sum((cells == BURNT).astype(jnp.int32)),
         }
-        return new_state, encode_fn(new_state), rewards, terminated, truncated, info
+        return (
+            new_state,
+            encode_fn(new_state),
+            rewards,
+            term[0, 0].astype(bool),
+            step_count >= cfg.max_steps,
+            info,
+        )
 
     def encode_fn(state: WildfireState) -> jax.Array:
         """(W, H, 3) uint8: (type, color, dir) like the other families."""
@@ -218,6 +402,75 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
         return jnp.stack([typ.T, color.T, ch2.T], axis=-1).astype(jnp.uint8)
 
     return WildfireFns(reset_fn=reset_fn, step_fn=step_fn, encode_fn=encode_fn)
+
+
+def make_wildfire_step_batch(cfg: WildfireConfig, use_pallas: bool = False):
+    """Whole-batch wildfire step (BatchedEnv.step_batch contract).
+
+    The direct XLA path runs :func:`wf_step_math` on the full (B, C) slab
+    — already one mostly-fused program with the stencil on the MXU; with
+    ``use_pallas`` the same math runs as a fused kernel
+    (ops/pallas_wildfire.py, real TPU only).
+    """
+    t = wf_tables(cfg)
+    C = t.n_cells
+    h, w = cfg.height, cfg.width
+    A = cfg.num_agents
+    fns = make_wildfire(cfg)
+    adj = jnp.asarray(adjacency(cfg))
+
+    if use_pallas:
+        from gym_multigrid_tpu.ops.pallas_wildfire import wildfire_step_slab
+
+        def run_math(cells, pos, acts, rnd):
+            return wildfire_step_slab(t, cells, pos, acts, rnd, adj)
+
+    else:
+
+        def run_math(cells, pos, acts, rnd):
+            return wf_step_math(t, cells, pos, acts, rnd, adj)
+
+    def step_batch(states: WildfireState, actions: jax.Array):
+        B = states.cells.shape[0]
+        keys = jax.vmap(jax.random.split)(states.key)
+        new_key, k_rnd = keys[:, 0], keys[:, 1]
+        rnd = jax.vmap(
+            lambda k: jax.random.uniform(k, (step_rnd_width(t),))
+        )(k_rnd)
+
+        cells, pos, reward, n_ext, term = run_math(
+            states.cells.reshape(B, C),
+            states.agent_pos.reshape(B, 2 * A),
+            jnp.asarray(actions).reshape(B, A).astype(jnp.int32),
+            rnd,
+        )
+        step_count = states.step_count + 1
+        new_states = WildfireState(
+            cells=cells.reshape(B, h, w),
+            agent_pos=pos.reshape(B, A, 2),
+            step_count=step_count,
+            extinguished=states.extinguished + n_ext[:, 0],
+            key=new_key,
+        )
+        obs = jax.vmap(fns.encode_fn)(new_states)
+        rewards = jnp.repeat(reward / A, A, axis=1)  # (B, A) team split
+        info = {
+            "extinguished": new_states.extinguished,
+            "burning": jnp.sum(
+                (cells == FIRE).astype(jnp.int32), axis=1
+            ),
+            "burnt": jnp.sum((cells == BURNT).astype(jnp.int32), axis=1),
+        }
+        return (
+            new_states,
+            obs,
+            rewards,
+            term[:, 0].astype(bool),
+            step_count >= cfg.max_steps,
+            info,
+        )
+
+    return step_batch
 
 
 @functools.cache

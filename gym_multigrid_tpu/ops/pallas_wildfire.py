@@ -1,0 +1,288 @@
+"""Fused Pallas kernels for the Wildfire step (ops/pallas_collect.py is the
+pattern; envs/wildfire.py owns the math).
+
+Two kernels:
+
+* ``wildfire_step_slab`` — one fused transition per launch (plugs into
+  ``BatchedEnv.step_batch`` via envs.wildfire.make_wildfire_step_batch).
+* ``wildfire_multistep_slab`` — K transitions per launch **with in-kernel
+  per-env auto-reset**: unlike Collect's truncation-only episode kernel,
+  wildfire terminates early at a random time (fire goes out), so each
+  unrolled step checks done = term|trunc and rebuilds that env's board with
+  the reset math in place.  The board stays VMEM-resident across all K
+  steps; HBM traffic is the pre-drawn uniform stream.
+
+Same contract as the other families: all randomness is pre-drawn uniforms,
+the kernel bodies are exactly :func:`envs.wildfire.wf_step_math` /
+``wf_reset_math`` (bit-compared in tests/test_pallas_wildfire.py), and the
+spread stencil runs as the adjacency matmul on the MXU.
+
+Envelope: n_agents <= 4 and n_cells a multiple of 128 (the default 16x16
+config is 256).  Outside it the XLA slab path serves (same math).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_multigrid_tpu.envs.wildfire import (
+    WfTables,
+    adjacency,
+    reset_rnd_width,
+    step_rnd_width,
+    wf_reset_math,
+    wf_step_math,
+)
+
+BLK = 256  # envs per program instance (single-step kernel)
+MS_BLK = 128  # multi-step kernel (unrolled steps stack VMEM temporaries)
+
+
+def kernel_supported(t: WfTables) -> bool:
+    return t.n_agents <= 4 and t.n_cells % 128 == 0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def wildfire_step_slab(t: WfTables, cells, pos, acts, rnd, adj, interpret=None):
+    """Fused single step over a (B, C) batch via pallas_call."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, C = cells.shape
+    A = t.n_agents
+    blk = min(BLK, B)
+    grid = (pl.cdiv(B, blk),)
+
+    def kernel(cells_ref, pos_ref, acts_ref, rnd_ref, adj_ref,
+               cells_out, pos_out, rew_out, ext_out, term_out):
+        c, p, r, e, tm = wf_step_math(
+            t, cells_ref[:], pos_ref[:], acts_ref[:], rnd_ref[:], adj_ref[:]
+        )
+        cells_out[:] = c
+        pos_out[:] = p
+        rew_out[:] = r
+        ext_out[:] = e
+        term_out[:] = tm
+
+    def row_spec(cols):
+        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(C),
+            row_spec(2 * A),
+            row_spec(A),
+            row_spec(rnd.shape[1]),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            row_spec(C),
+            row_spec(2 * A),
+            row_spec(1),
+            row_spec(1),
+            row_spec(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, 2 * A), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cells, pos, acts, rnd, adj)
+
+
+def _ms_math(t: WfTables, K, cells, pos, sc, ext, run_ret, packed, adj, tril):
+    """K wildfire steps with per-env auto-reset — the multi-step kernel
+    body AND its pure-jax spec (bit-compared in tests).
+
+    packed: (B, K*(A + R_step + R_reset)) — per step A float-cast int
+    actions, then the step uniforms, then the reset uniforms.
+    Returns (cells, pos, sc, ext, run_ret, rew_sum, ep_sum, eps).
+    """
+    B = cells.shape[0]
+    A = t.n_agents
+    Rs = step_rnd_width(t)
+    Rr = reset_rnd_width(t)
+    stride = A + Rs + Rr
+    rew_sum = jnp.zeros((B, 1), jnp.float32)
+    ep_sum = jnp.zeros((B, 1), jnp.float32)
+    eps = jnp.zeros((B, 1), jnp.int32)
+    for k in range(K):
+        base = k * stride
+        acts = packed[:, base : base + A].astype(jnp.int32)
+        rnd_step = packed[:, base + A : base + A + Rs]
+        rnd_reset = packed[:, base + A + Rs : base + stride]
+
+        cells2, pos2, reward, n_ext, term = wf_step_math(
+            t, cells, pos, acts, rnd_step, adj
+        )
+        sc2 = sc + 1
+        done = (term == 1) | (sc2 >= t.max_steps)  # (B,1) bool
+
+        run_ret2 = run_ret + reward
+        rew_sum = rew_sum + reward
+        ep_sum = ep_sum + jnp.where(done, run_ret2, 0.0)
+        eps = eps + done.astype(jnp.int32)
+        run_ret = jnp.where(done, 0.0, run_ret2)
+        ext2 = ext + n_ext
+
+        rcells, rpos = wf_reset_math(t, rnd_reset, tril)
+        cells = jnp.where(done, rcells, cells2)
+        pos = jnp.where(done, rpos, pos2)
+        sc = jnp.where(done, 0, sc2)
+        ext = jnp.where(done, 0, ext2)
+    return cells, pos, sc, ext, run_ret, rew_sum, ep_sum, eps
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def wildfire_multistep_slab(
+    t: WfTables, cells, pos, sc, ext, run_ret, K, interpret, packed
+):
+    """K fused auto-resetting steps per kernel launch."""
+    B, C = cells.shape
+    A = t.n_agents
+    blk = min(MS_BLK, B)
+    grid = (pl.cdiv(B, blk),)
+    adj = jnp.asarray(adjacency(t))
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+
+    def kernel(cells_ref, pos_ref, sc_ref, ext_ref, rr_ref, packed_ref,
+               adj_ref, tril_ref, *outs):
+        res = _ms_math(
+            t, K, cells_ref[:], pos_ref[:], sc_ref[:], ext_ref[:],
+            rr_ref[:], packed_ref[:], adj_ref[:], tril_ref[:],
+        )
+        for o_ref, val in zip(outs, res):
+            o_ref[:] = val
+
+    def row_spec(cols):
+        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def full_spec(r, c):
+        return pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_cols = [C, 2 * A, 1, 1, 1, 1, 1, 1]
+    out_dtypes = [jnp.int32, jnp.int32, jnp.int32, jnp.int32,
+                  jnp.float32, jnp.float32, jnp.float32, jnp.int32]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(C),
+            row_spec(2 * A),
+            row_spec(1),
+            row_spec(1),
+            row_spec(1),
+            row_spec(packed.shape[1]),
+            full_spec(C, C),
+            full_spec(C, C),
+        ],
+        out_specs=[row_spec(c) for c in out_cols],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, c), d)
+            for c, d in zip(out_cols, out_dtypes)
+        ],
+        interpret=interpret,
+    )(cells, pos, sc, ext, run_ret, packed, adj, tril)
+
+
+def make_wildfire_episode_rollout(cfg, chunk: int = 8, interpret=None):
+    """rollout(states, key, num_steps) -> (states', metrics) on the fused
+    multi-step kernel, matching BatchedEnv.rollout with uniform-random
+    actions and in-graph auto-reset.  metrics: reward_sum, episodes,
+    ep_return_sum, run_return — same keys as BatchedEnv.rollout."""
+    from gym_multigrid_tpu.envs.wildfire import WildfireState, wf_tables
+
+    t = wf_tables(cfg)
+    if not kernel_supported(t):
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    A = t.n_agents
+    C = t.n_cells
+    h, w = cfg.height, cfg.width
+    stride = A + step_rnd_width(t) + reset_rnd_width(t)
+
+    def _launch(states, run_ret, key, K):
+        B = states.cells.shape[0]
+        k_a, k_r = jax.random.split(key)
+        acts = jax.random.randint(k_a, (B, K, A), 0, 5).astype(jnp.float32)
+        rnd = jax.random.uniform(k_r, (B, K, stride - A))
+        packed = jnp.concatenate([acts, rnd], axis=2).reshape(B, K * stride)
+        cells, pos, sc, ext, run_ret, rew, ep_sum, eps = (
+            wildfire_multistep_slab(
+                t,
+                states.cells.reshape(B, C),
+                states.agent_pos.reshape(B, 2 * A),
+                states.step_count.reshape(B, 1),
+                states.extinguished.reshape(B, 1),
+                run_ret,
+                K,
+                interpret,
+                packed,
+            )
+        )
+        states = WildfireState(
+            cells=cells.reshape(B, h, w),
+            agent_pos=pos.reshape(B, A, 2),
+            step_count=sc.reshape(B),
+            extinguished=ext.reshape(B),
+            key=states.key,
+        )
+        return states, run_ret, rew.sum(), ep_sum.sum(), eps.sum()
+
+    def rollout(states, key, num_steps: int):
+        B = states.cells.shape[0]
+        run_ret = jnp.zeros((B, 1), jnp.float32)
+        reward_sum = jnp.float32(0.0)
+        ep_ret_sum = jnp.float32(0.0)
+        episodes = jnp.int32(0)
+
+        n_full, rem = divmod(num_steps, chunk)
+
+        def body(carry, _):
+            states, run_ret, key, rs, es, ec = carry
+            key, k = jax.random.split(key)
+            states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
+            return (states, run_ret, key, rs + r, es + e, ec + n), None
+
+        if interpret:
+            # eager loop: interpreter-mode kernels under scan crawl
+            for _ in range(n_full):
+                key, k = jax.random.split(key)
+                states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
+                reward_sum += r
+                ep_ret_sum += e
+                episodes += n
+        else:
+            (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
+                jax.lax.scan(
+                    body,
+                    (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
+                    None,
+                    length=n_full,
+                )
+            )
+        if rem:
+            key, k = jax.random.split(key)
+            states, run_ret, r, e, n = _launch(states, run_ret, k, rem)
+            reward_sum += r
+            ep_ret_sum += e
+            episodes += n
+        return states, {
+            "reward_sum": reward_sum,
+            "episodes": episodes,
+            "ep_return_sum": ep_ret_sum,
+            "run_return": run_ret.reshape(B),
+        }
+
+    return rollout

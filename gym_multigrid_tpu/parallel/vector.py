@@ -231,16 +231,25 @@ def make_maze_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
     )
 
 
-def make_wildfire_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
-    from gym_multigrid_tpu.envs.wildfire import make_wildfire
+def make_wildfire_batch(
+    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+) -> BatchedEnv:
+    from gym_multigrid_tpu.envs.wildfire import (
+        make_wildfire,
+        make_wildfire_step_batch,
+    )
 
     fns = make_wildfire(cfg)
+    # The whole-batch step (shared slab math; optional fused kernel) beats
+    # vmap(step_one): the spread stencil batches into one MXU matmul.
+    step_batch = make_wildfire_step_batch(cfg, use_pallas=use_pallas)
     return BatchedEnv(
         reset_one=fns.reset_fn,
         step_one=fns.step_fn,
         encode_one=fns.encode_fn,
         num_envs=num_envs,
         auto_reset=auto_reset,
+        step_batch=step_batch,
         num_actions=5,
         actions_shape=(cfg.num_agents,),
     )

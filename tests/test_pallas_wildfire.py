@@ -1,0 +1,139 @@
+"""Wildfire Pallas kernels vs their pure-jax specs (bit-equality, interpret
+mode on CPU — same contract as tests/test_pallas.py for Collect)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gym_multigrid_tpu.envs.wildfire import (
+    FIRE,
+    TREE,
+    WildfireConfig,
+    adjacency,
+    make_wildfire_step_batch,
+    reset_rnd_width,
+    step_rnd_width,
+    wf_reset_math,
+    wf_step_math,
+    wf_tables,
+)
+from gym_multigrid_tpu.ops.pallas_wildfire import (
+    _ms_math,
+    make_wildfire_episode_rollout,
+    wildfire_multistep_slab,
+    wildfire_step_slab,
+)
+from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+CFG = WildfireConfig(size=16, max_steps=20)
+
+
+def _random_slab(B, key):
+    t = wf_tables(CFG)
+    C = t.n_cells
+    ks = jax.random.split(key, 4)
+    cells = jax.random.randint(ks[0], (B, C), 0, 4)  # empty/tree/fire/burnt
+    pos = jax.random.randint(ks[1], (B, 2 * t.n_agents), 0, CFG.size)
+    acts = jax.random.randint(ks[2], (B, t.n_agents), 0, 5)
+    rnd = jax.random.uniform(ks[3], (B, step_rnd_width(t)))
+    return t, cells, pos, acts, rnd
+
+
+def _assert_match(spec, kern):
+    """ints (cells/pos/counters/flags) bit-equal; float rewards to 1 ulp
+    (interpret mode contracts the reward multiply-adds differently)."""
+    for s, k in zip(spec, kern):
+        s, k = np.asarray(s), np.asarray(k)
+        if np.issubdtype(s.dtype, np.integer) or s.dtype == bool:
+            np.testing.assert_array_equal(s, k)
+        else:
+            np.testing.assert_allclose(s, k, rtol=1e-6, atol=1e-5)
+
+
+def test_step_kernel_matches_spec():
+    t, cells, pos, acts, rnd = _random_slab(32, jax.random.PRNGKey(0))
+    adj = jnp.asarray(adjacency(CFG))
+    spec = wf_step_math(t, cells, pos, acts, rnd, adj)
+    kern = wildfire_step_slab(t, cells, pos, acts, rnd, adj, True)
+    _assert_match(spec, kern)
+
+
+def test_multistep_kernel_matches_spec():
+    t, cells, pos, acts, rnd = _random_slab(16, jax.random.PRNGKey(1))
+    B = cells.shape[0]
+    K = 4
+    stride = t.n_agents + step_rnd_width(t) + reset_rnd_width(t)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    a = jax.random.randint(k1, (B, K, t.n_agents), 0, 5).astype(jnp.float32)
+    r = jax.random.uniform(k2, (B, K, stride - t.n_agents))
+    packed = jnp.concatenate([a, r], axis=2).reshape(B, K * stride)
+    sc = jax.random.randint(jax.random.PRNGKey(3), (B, 1), 0, t.max_steps)
+    ext = jnp.zeros((B, 1), jnp.int32)
+    run_ret = jnp.zeros((B, 1), jnp.float32)
+    adj = jnp.asarray(adjacency(CFG))
+    tril = jnp.asarray(np.tril(np.ones((t.n_cells, t.n_cells), np.float32)).T)
+
+    spec = _ms_math(t, K, cells, pos, sc, ext, run_ret, packed, adj, tril)
+    kern = wildfire_multistep_slab(
+        t, cells, pos, sc, ext, run_ret, K, True, packed
+    )
+    _assert_match(spec, kern)
+
+
+def test_step_batch_pallas_equals_xla():
+    """Both step_batch paths consume the same key-derived uniforms, so on
+    identical states they must agree bit-for-bit."""
+    env = make_wildfire_batch(CFG, num_envs=8, auto_reset=False)
+    states, _ = jax.jit(env.reset)(jax.random.PRNGKey(4))
+    actions = jax.random.randint(jax.random.PRNGKey(5), (8, 2), 0, 5)
+
+    xla = make_wildfire_step_batch(CFG, use_pallas=False)
+    pal = make_wildfire_step_batch(CFG, use_pallas=True)
+    sx, ox, rx, tx, ux, _ = xla(states, actions)
+    sp, op, rp, tp, up, _ = pal(states, actions)
+    np.testing.assert_array_equal(np.asarray(sx.cells), np.asarray(sp.cells))
+    np.testing.assert_array_equal(
+        np.asarray(sx.agent_pos), np.asarray(sp.agent_pos)
+    )
+    np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(tx), np.asarray(tp))
+
+
+def test_episode_rollout_invariants():
+    """The fused auto-resetting rollout keeps state sane and accounts for
+    every completed episode's return."""
+    env = make_wildfire_batch(CFG, num_envs=8)
+    states, _ = jax.jit(env.reset)(jax.random.PRNGKey(6))
+    rollout = make_wildfire_episode_rollout(CFG, chunk=4)
+    states, m = rollout(states, jax.random.PRNGKey(7), 48)
+
+    cells = np.asarray(states.cells)
+    assert cells.min() >= 0 and cells.max() <= 4
+    pos = np.asarray(states.agent_pos)
+    assert pos.min() >= 0 and pos.max() < CFG.size
+    # agents stay distinct (reset places them without replacement; moves
+    # block on occupied cells)
+    for b in range(pos.shape[0]):
+        assert len({tuple(p) for p in pos[b]}) == CFG.num_agents
+    # with max_steps=20 and 48 steps, every env completed >= 2 episodes
+    assert int(m["episodes"]) >= 16
+    assert np.isfinite(float(m["reward_sum"]))
+    assert np.isfinite(float(m["ep_return_sum"]))
+    # step_count never exceeds the horizon (auto-reset fired in-kernel)
+    assert int(np.asarray(states.step_count).max()) < CFG.max_steps
+
+
+def test_reset_math_distribution():
+    """Initial fires land on trees; agent spawns are distinct."""
+    t = wf_tables(CFG)
+    C = t.n_cells
+    tril = jnp.asarray(np.tril(np.ones((C, C), np.float32)).T)
+    rnd = jax.random.uniform(jax.random.PRNGKey(8), (64, reset_rnd_width(t)))
+    cells, pos = wf_reset_math(t, rnd, tril)
+    cells = np.asarray(cells)
+    assert ((cells == FIRE).sum(axis=1) == t.n_fires).all()
+    trees_frac = (cells == TREE).mean()
+    assert 0.4 < trees_frac + (cells == FIRE).mean() < 0.8  # ~density
+    pos = np.asarray(pos).reshape(64, t.n_agents, 2)
+    for b in range(64):
+        assert len({tuple(p) for p in pos[b]}) == t.n_agents
