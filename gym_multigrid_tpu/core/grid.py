@@ -148,35 +148,59 @@ class Grid:
 
     # -- visibility ---------------------------------------------------------
     def process_vis(self, agent_pos) -> np.ndarray:
-        """Shadow-casting visibility from the agent cell, sweeping rows
-        bottom-up; occluded cells are cleared (reference grid.py:286-323)."""
-        mask = np.zeros((self.width, self.height), dtype=bool)
+        """Shadow-casting visibility from the agent cell (observable
+        behavior of reference grid.py:286-323), computed with vectorized
+        row sweeps instead of the reference's per-cell loops.
+
+        Per row (bottom-up), light propagates sideways through runs of
+        see-through cells and spills one row up (straight + diagonal).  A
+        sideways pass has the closed form: cell i is lit iff some already
+        lit cell sits between it and the nearest opaque cell on the
+        propagation side — one running-maximum (nearest-blocker index) and
+        one prefix-sum (any-lit-in-window) per pass.
+        """
+        w, h = self.width, self.height
+        see = np.ones((w, h), dtype=bool)
+        for j in range(h):
+            for i in range(w):
+                cell = self.get(i, j)
+                if cell is not None and not cell.see_behind():
+                    see[i, j] = False
+
+        mask = np.zeros((w, h), dtype=bool)
         mask[agent_pos[0], agent_pos[1]] = True
+        idx = np.arange(w)
 
-        for j in reversed(range(self.height)):
-            for i in range(self.width - 1):
-                if not mask[i, j]:
-                    continue
-                cell = self.get(i, j)
-                if cell and not cell.see_behind():
-                    continue
-                mask[i + 1, j] = True
-                if j > 0:
-                    mask[i + 1, j - 1] = True
-                    mask[i, j - 1] = True
-            for i in reversed(range(1, self.width)):
-                if not mask[i, j]:
-                    continue
-                cell = self.get(i, j)
-                if cell and not cell.see_behind():
-                    continue
-                mask[i - 1, j] = True
-                if j > 0:
-                    mask[i - 1, j - 1] = True
-                    mask[i, j - 1] = True
+        def sweep(row, s):
+            """One left-to-right pass: lit[i] |= any lit j < i with
+            see[j..i-1] all True (the transitive propagation chain)."""
+            # nearest blocker strictly left of i (-1 if none)
+            r = np.concatenate(
+                ([-1], np.maximum.accumulate(np.where(~s, idx, -1))[:-1])
+            )
+            # prefix sums of lit cells: any lit in (r[i], i) ?
+            P = np.concatenate(([0], np.cumsum(row)))
+            return row | (P[idx] - P[r + 1] > 0)
 
-        for j in range(self.height):
-            for i in range(self.width):
+        for j in reversed(range(h)):
+            s = see[:, j]
+            lit1 = sweep(mask[:, j], s)  # eastward pass
+            lit2 = sweep(lit1[::-1], s[::-1])[::-1]  # westward pass
+            mask[:, j] = lit2
+            if j > 0:
+                # Spill-up: every processed (lit, see-through) cell lights
+                # its straight-up and pass-direction diagonal neighbors.
+                p1 = lit1 & s
+                p1[w - 1] = False  # east pass visits i <= w-2
+                p2 = lit2 & s
+                p2[0] = False  # west pass visits i >= 1
+                below = mask[:, j - 1]
+                below |= p1 | p2
+                below[1:] |= p1[:-1]  # (i+1, j-1) from the east pass
+                below[:-1] |= p2[1:]  # (i-1, j-1) from the west pass
+
+        for j in range(h):
+            for i in range(w):
                 if not mask[i, j]:
                     self.set(i, j, None)
         return mask

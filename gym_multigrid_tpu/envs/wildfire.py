@@ -420,7 +420,23 @@ def make_wildfire_step_batch(cfg: WildfireConfig, use_pallas: bool = False):
     adj = jnp.asarray(adjacency(cfg))
 
     if use_pallas:
-        from gym_multigrid_tpu.ops.pallas_wildfire import wildfire_step_slab
+        from gym_multigrid_tpu.ops.pallas_wildfire import (
+            kernel_supported,
+            wildfire_step_slab,
+        )
+
+        if not kernel_supported(t):
+            import warnings
+
+            warnings.warn(
+                "use_pallas requested but wildfire config is outside the "
+                "kernel envelope (n_agents <= 4, cells % 128 == 0); "
+                "falling back to the XLA slab path",
+                stacklevel=2,
+            )
+            use_pallas = False
+
+    if use_pallas:
 
         def run_math(cells, pos, acts, rnd):
             return wildfire_step_slab(t, cells, pos, acts, rnd, adj)

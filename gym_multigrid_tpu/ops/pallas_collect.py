@@ -312,6 +312,13 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
     )
 
     if cfg.num_agents not in (1, 2):
+        import warnings
+
+        warnings.warn(
+            f"use_pallas requested but Collect config has {cfg.num_agents} "
+            "agents (kernel envelope: 1 or 2); falling back to the XLA path",
+            stacklevel=2,
+        )
         return None
     t = make_tables(cfg)
     if interpret is None:

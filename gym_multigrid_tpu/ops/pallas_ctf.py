@@ -17,8 +17,10 @@ reference, SURVEY.md §2.3): a uniform index into the static permutation
 table equals jax.random.permutation; ``u < p`` equals the Bernoulli battle
 draw; ``floor(u*n)`` equals uniform integer draws.
 
-Envelope: MvN variant, n_agents <= 4 (the shipped 2v2 config); other
-configs use the XLA path.
+Envelope: both variants (MvN shuffled move order / 1v1 fixed blue-then-red
+with episode-ending battle loss and obstacle cells), n_agents <= 4 (covers
+the shipped 1v1 and 2v2 configs).  Outside it ``make_ctf_step_batch``
+warns and returns None so the caller uses the XLA path.
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ _A2DIR = (3, 3, 2, 1, 0)
 class CtfKTables(NamedTuple):
     """Static per-config tables (hashable)."""
 
+    mvn: bool
     s0: int
     s1: int
     n_blue: int
@@ -61,6 +64,7 @@ class CtfKTables(NamedTuple):
     battle_reward: float
     obstacle_penalty: float
     step_penalty: float
+    max_steps: int
     # per red agent: ("rw"|"fight"|"capture"|"patrol"|"patrol_fight", randomness)
     policies: tuple[tuple[str, float], ...]
 
@@ -71,6 +75,7 @@ def make_ctf_ktables(cfg):
     t = build_tables(cfg)
     S0, S1 = t.fm.shape
     return CtfKTables(
+        mvn=cfg.variant == "mvn",
         s0=S0,
         s1=S1,
         n_blue=cfg.num_blue_agents,
@@ -85,6 +90,7 @@ def make_ctf_ktables(cfg):
         battle_reward=float(cfg.battle_reward),
         obstacle_penalty=float(cfg.obstacle_penalty),
         step_penalty=float(cfg.step_penalty),
+        max_steps=int(cfg.max_steps),
         policies=tuple(
             (s.kind, float(s.randomness)) for s in cfg.enemy_policies
         ),
@@ -98,10 +104,11 @@ def ctf_static_inputs(cfg):
 
     t = build_tables(cfg)
     N = t.fm.size
-    cells = np.zeros((3, N), dtype=np.int32)
+    cells = np.zeros((4, N), dtype=np.int32)
     cells[0] = t.can_enter.reshape(-1)
     cells[1] = t.blue_mask.reshape(-1)
     cells[2] = t.red_mask.reshape(-1)
+    cells[3] = t.obstacle_mask.reshape(-1)  # 1v1 obstacle-penalty check
 
     needs_patrol = any(
         s.kind in ("patrol", "patrol_fight") for s in cfg.enemy_policies
@@ -273,16 +280,21 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
         for b in range(t.n_blue)
     ] + red_acts
 
-    # ---- random-order sequential moves (ctf.py:1240-1251) --------------
-    perms = list(itertools.permutations(range(A)))
-    j = jnp.minimum(
-        (col(rnd, 0) * len(perms)).astype(jnp.int32), len(perms) - 1
-    )
+    # ---- sequential moves: MvN shuffles the order (ctf.py:1240-1251);
+    # 1v1 is fixed blue-then-red (ctf.py:503-510) ------------------------
+    if t.mvn:
+        perms = list(itertools.permutations(range(A)))
+        j = jnp.minimum(
+            (col(rnd, 0) * len(perms)).astype(jnp.int32), len(perms) - 1
+        )
     for slot in range(A):
         # the slot-th mover's agent id per row
-        i_vec = jnp.zeros((B, 1), jnp.int32)
-        for k, perm in enumerate(perms):
-            i_vec = jnp.where(j == k, perm[slot], i_vec)
+        if t.mvn:
+            i_vec = jnp.zeros((B, 1), jnp.int32)
+            for k, perm in enumerate(perms):
+                i_vec = jnp.where(j == k, perm[slot], i_vec)
+        else:
+            i_vec = jnp.full((B, 1), slot, jnp.int32)
 
         def sel(cols_list):
             out = cols_list[0]
@@ -304,7 +316,7 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
         occupied = jnp.zeros((B, 1), dtype=bool)
         for i in range(A):
             occupied = occupied | ((px[i] == nr) & (py[i] == nc))
-        if t.obstacle_penalty != 0:
+        if t.mvn and t.obstacle_penalty != 0:
             hit_agent = alive & inb & occupied
             for i in range(A):
                 cl[i] = jnp.where(
@@ -320,10 +332,10 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
             py[i] = jnp.where(mine & can_move, nc, py[i])
             dr_[i] = jnp.where(mine & can_move, new_dir, dr_[i])
 
-    # ---- collided penalty + termination (ctf.py:1316-1332) -------------
+    # ---- collided penalty + termination, MvN only (ctf.py:1316-1332) ----
     reward = jnp.zeros((B, 1), jnp.float32)
     episode_term = jnp.zeros((B, 1), dtype=bool)
-    if t.obstacle_penalty != 0:
+    if t.mvn and t.obstacle_penalty != 0:
         for b in range(t.n_blue):
             reward = reward - t.obstacle_penalty * cl[b].astype(jnp.float32)
         for i in range(A):
@@ -350,6 +362,8 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
     k = 0
     for b in range(t.n_blue):
         for r in range(t.n_red):
+            if not t.mvn and (b, r) != (0, 0):
+                continue
             i = t.n_blue + r
             d2 = (
                 (px[b] - px[i]).astype(jnp.float32) ** 2
@@ -378,15 +392,30 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
             reward = reward + t.battle_reward * win.astype(jnp.float32)
             reward = reward - t.battle_reward * lose.astype(jnp.float32)
             tm[i] = jnp.maximum(tm[i], win.astype(jnp.int32))
-            tm[b] = jnp.maximum(tm[b], lose.astype(jnp.int32))
+            if t.mvn:
+                tm[b] = jnp.maximum(tm[b], lose.astype(jnp.int32))
+            else:
+                # 1v1: blue losing ends the episode (ctf.py:633-636)
+                episode_term = episode_term | lose
             brl[r] = brl[r] | win
             bbl[b] = bbl[b] | lose
 
-    all_blue_dead = jnp.ones((B, 1), dtype=bool)
-    for b in range(t.n_blue):
-        all_blue_dead = all_blue_dead & (tm[b] == 1)
-    episode_term = episode_term | all_blue_dead
-    reward = reward - t.step_penalty * t.n_blue
+    if t.mvn:
+        all_blue_dead = jnp.ones((B, 1), dtype=bool)
+        for b in range(t.n_blue):
+            all_blue_dead = all_blue_dead & (tm[b] == 1)
+        episode_term = episode_term | all_blue_dead
+        reward = reward - t.step_penalty * t.n_blue
+    else:
+        # 1v1 obstacle penalty: standing on an obstacle cell costs and
+        # ends the episode (ctf.py:640-648)
+        if t.obstacle_penalty != 0:
+            on_obs = _cell_flag(
+                cells[3][None, :], clip_flat(px[0], py[0]), lane
+            )
+            reward = reward - t.obstacle_penalty * on_obs.astype(jnp.float32)
+            episode_term = episode_term | on_obs
+        reward = reward - t.step_penalty
 
     pos_out = jnp.concatenate(
         [v for i in range(A) for v in (px[i], py[i])], axis=1
@@ -445,7 +474,7 @@ def ctf_step_slab(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
             row_spec(A),
             row_spec(t.n_blue),
             row_spec(rnd.shape[1]),
-            full_spec(3, N),
+            full_spec(4, N),
             full_spec(2, border.shape[1]),
             full_spec(2, pool.shape[1]),
         ],
@@ -464,14 +493,27 @@ def make_ctf_step_batch(cfg, interpret: bool | None = None):
     Returns None when the config is outside the kernel envelope; the caller
     falls back to the XLA path.
     """
+    import warnings
+
     from gym_multigrid_tpu.envs.ctf import CtfState, make_ctf
 
-    if cfg.variant != "mvn" or cfg.num_agents > 4:
+    if cfg.num_agents > 4:
+        warnings.warn(
+            f"use_pallas requested but CtF config has {cfg.num_agents} "
+            "agents (kernel envelope: <= 4); falling back to the XLA path",
+            stacklevel=2,
+        )
         return None
     if any(
         s.kind not in ("rw", "fight", "capture", "patrol", "patrol_fight")
         for s in cfg.enemy_policies
     ):
+        warnings.warn(
+            "use_pallas requested but an enemy PolicySpec is outside the "
+            "kernel envelope (rw/fight/capture/patrol/patrol_fight); "
+            "falling back to the XLA path",
+            stacklevel=2,
+        )
         return None
     t = make_ctf_ktables(cfg)
     if interpret is None:
@@ -530,3 +572,293 @@ def make_ctf_step_batch(cfg, interpret: bool | None = None):
         )
 
     return step_batch
+
+
+# ---------------------------------------------------------------------------
+# Fused reset + multi-step episode kernel
+# ---------------------------------------------------------------------------
+
+
+def _masked_pick_idx(mask, u, tril):
+    """(B, n) mask -> (B, 1) index of the floor(u*count)-th True lane
+    (uniform over set lanes; tril is the (n, n) prefix-sum matmul)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+    mi = mask.astype(jnp.float32)
+    count = jnp.sum(mi, axis=1, keepdims=True)
+    r = jnp.minimum((u * count).astype(jnp.int32), count.astype(jnp.int32) - 1)
+    cum = jnp.dot(mi, tril, preferred_element_type=jnp.float32).astype(
+        jnp.int32
+    )
+    hit = (cum == r + 1) & mask
+    return jnp.sum(jnp.where(hit, lane, 0), axis=1, keepdims=True), hit
+
+
+def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr, tril_b, tril_r):
+    """Spawn positions for a (B, ·) slab: MvN draws non-overlapping cells
+    per team (envs/ctf.py reset_fn <- ctf.py:1033-1048), 1v1 draws
+    independently (ctf.py:314-323).  rnd: (B, n_blue + n_red) uniforms;
+    bterr/rterr: (2, n) i32 territory coordinate lists.
+
+    Returns pos (B, 2*A) i32.
+    """
+    B = rnd.shape[0]
+    nb = bterr.shape[1]
+    nr = rterr.shape[1]
+
+    def draw_team(terr, n_cells_, n_agents, base, tril):
+        cols = []
+        avail = jnp.ones((B, n_cells_), dtype=bool)
+        for a in range(n_agents):
+            u = rnd[:, base + a : base + a + 1]
+            if t.mvn:
+                idx, hit = _masked_pick_idx(avail, u, tril)
+                avail = avail & ~hit
+            else:
+                idx = jnp.minimum(
+                    (u * n_cells_).astype(jnp.int32), n_cells_ - 1
+                )
+            r0 = jnp.zeros((B, 1), jnp.int32)
+            r1 = jnp.zeros((B, 1), jnp.int32)
+            for k in range(n_cells_):
+                m = idx == k
+                r0 = jnp.where(m, terr[0, k], r0)
+                r1 = jnp.where(m, terr[1, k], r1)
+            cols.extend([r0, r1])
+        return cols
+
+    cols = draw_team(bterr, nb, t.n_blue, 0, tril_b)
+    cols += draw_team(rterr, nr, t.n_red, t.n_blue, tril_r)
+    return jnp.concatenate(cols, axis=1)
+
+
+def ms_stride(t: CtfKTables) -> int:
+    """Packed floats per env per step: blue actions + step rnd + reset rnd."""
+    return t.n_blue + rnd_width(t) + t.n_blue + t.n_red
+
+
+def _ctf_ms_math(t: CtfKTables, K, pos, dirs, term, coll, sc, run_ret,
+                 packed, cells, border, pool, bterr, rterr, tril_b, tril_r):
+    """K CtF steps with per-env in-place auto-reset — multi-step kernel
+    body AND its pure-jax spec (tests/test_pallas_ctf.py).
+
+    packed: (B, K*ms_stride) — per step n_blue float-cast int actions, the
+    step uniforms (rnd_width), then the reset uniforms (n_blue + n_red).
+    Returns (pos, dirs, term, coll, sc, run_ret, rew_sum, ep_sum, eps).
+    """
+    B = pos.shape[0]
+    A = t.n_blue + t.n_red
+    Rs = rnd_width(t)
+    stride = ms_stride(t)
+    rew_sum = jnp.zeros((B, 1), jnp.float32)
+    ep_sum = jnp.zeros((B, 1), jnp.float32)
+    eps = jnp.zeros((B, 1), jnp.int32)
+    for k in range(K):
+        base = k * stride
+        ba = packed[:, base : base + t.n_blue].astype(jnp.int32)
+        rnd_step = packed[:, base + t.n_blue : base + t.n_blue + Rs]
+        rnd_reset = packed[:, base + t.n_blue + Rs : base + stride]
+
+        (pos2, dirs2, term2, coll2, reward, ep_term, *_rest) = _ctf_step_math(
+            t, pos, dirs, term, coll, ba, rnd_step, cells, border, pool
+        )
+        sc2 = sc + 1
+        done = (ep_term == 1) | (sc2 >= t.max_steps)
+
+        run_ret2 = run_ret + reward
+        rew_sum = rew_sum + reward
+        ep_sum = ep_sum + jnp.where(done, run_ret2, 0.0)
+        eps = eps + done.astype(jnp.int32)
+        run_ret = jnp.where(done, 0.0, run_ret2)
+
+        rpos = _ctf_reset_math(t, rnd_reset, bterr, rterr, tril_b, tril_r)
+        pos = jnp.where(done, rpos, pos2)
+        dirs = jnp.where(done, 3, dirs2)
+        term = jnp.where(done, 0, term2)
+        coll = jnp.where(done, 0, coll2)
+        sc = jnp.where(done, 0, sc2)
+    return pos, dirs, term, coll, sc, run_ret, rew_sum, ep_sum, eps
+
+
+CTF_MS_BLK = 128  # multi-step kernel block (unrolled steps stack VMEM)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 8))
+def ctf_multistep_slab(t: CtfKTables, pos, dirs, term, coll, sc, run_ret,
+                       K, interpret, packed, cells, border_pool, terr_pack):
+    """K fused auto-resetting CtF steps per kernel launch."""
+    B = pos.shape[0]
+    A = t.n_blue + t.n_red
+    border, pool = border_pool
+    bterr, rterr, tril_b, tril_r = terr_pack
+    blk = min(CTF_MS_BLK, B)
+    grid = (pl.cdiv(B, blk),)
+    N = t.s0 * t.s1
+
+    def kernel(pos_ref, dirs_ref, term_ref, coll_ref, sc_ref, rr_ref,
+               packed_ref, cells_ref, border_ref, pool_ref, bterr_ref,
+               rterr_ref, trilb_ref, trilr_ref, *outs):
+        res = _ctf_ms_math(
+            t, K, pos_ref[:], dirs_ref[:], term_ref[:], coll_ref[:],
+            sc_ref[:], rr_ref[:], packed_ref[:], cells_ref[:], border_ref[:],
+            pool_ref[:], bterr_ref[:], rterr_ref[:], trilb_ref[:],
+            trilr_ref[:],
+        )
+        for o_ref, val in zip(outs, res):
+            o_ref[:] = val
+
+    def row_spec(cols):
+        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def full_spec(r, c):
+        return pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    nb, nr = bterr.shape[1], rterr.shape[1]
+    out_cols = [2 * A, A, A, A, 1, 1, 1, 1, 1]
+    out_dtypes = [jnp.int32] * 4 + [jnp.int32, jnp.float32, jnp.float32,
+                  jnp.float32, jnp.int32]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(2 * A),
+            row_spec(A),
+            row_spec(A),
+            row_spec(A),
+            row_spec(1),
+            row_spec(1),
+            row_spec(packed.shape[1]),
+            full_spec(4, N),
+            full_spec(2, border.shape[1]),
+            full_spec(2, pool.shape[1]),
+            full_spec(2, nb),
+            full_spec(2, nr),
+            full_spec(nb, nb),
+            full_spec(nr, nr),
+        ],
+        out_specs=[row_spec(c) for c in out_cols],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, c), d)
+            for c, d in zip(out_cols, out_dtypes)
+        ],
+        interpret=interpret,
+    )(pos, dirs, term, coll, sc, run_ret, packed, cells, border, pool,
+      bterr, rterr, tril_b, tril_r)
+
+
+def ctf_reset_inputs(cfg):
+    """(bterr, rterr, tril_b, tril_r) static arrays for the reset math."""
+    from gym_multigrid_tpu.envs.ctf import build_tables
+
+    t = build_tables(cfg)
+    bterr = np.asarray(t.blue_territory, dtype=np.int32).T.copy()
+    rterr = np.asarray(t.red_territory, dtype=np.int32).T.copy()
+    nb, nr = bterr.shape[1], rterr.shape[1]
+    tril_b = np.tril(np.ones((nb, nb), dtype=np.float32)).T
+    tril_r = np.tril(np.ones((nr, nr), dtype=np.float32)).T
+    return (
+        jnp.asarray(bterr),
+        jnp.asarray(rterr),
+        jnp.asarray(tril_b),
+        jnp.asarray(tril_r),
+    )
+
+
+def make_ctf_episode_rollout(cfg, chunk: int = 10, interpret=None):
+    """rollout(states, key, num_steps) -> (states', metrics) on the fused
+    multi-step kernel with in-kernel per-env auto-reset and uniform-random
+    blue actions; metrics match BatchedEnv.rollout (reward_sum, episodes,
+    ep_return_sum, run_return)."""
+    from gym_multigrid_tpu.envs.ctf import CtfState
+
+    if cfg.num_agents > 4 or any(
+        s.kind not in ("rw", "fight", "capture", "patrol", "patrol_fight")
+        for s in cfg.enemy_policies
+    ):
+        return None
+    t = make_ctf_ktables(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cells, border, pool = ctf_static_inputs(cfg)
+    terr_pack = ctf_reset_inputs(cfg)
+    A = cfg.num_agents
+    stride = ms_stride(t)
+
+    def _launch(states, run_ret, key, K):
+        B = states.pos.shape[0]
+        k_a, k_r = jax.random.split(key)
+        acts = jax.random.randint(
+            k_a, (B, K, t.n_blue), 0, NUM_ACTIONS
+        ).astype(jnp.float32)
+        rnd = jax.random.uniform(k_r, (B, K, stride - t.n_blue))
+        packed = jnp.concatenate([acts, rnd], axis=2).reshape(B, K * stride)
+        pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
+            ctf_multistep_slab(
+                t,
+                states.pos.reshape(B, 2 * A),
+                states.dir,
+                states.terminated.astype(jnp.int32),
+                states.collided.astype(jnp.int32),
+                states.step_count.reshape(B, 1),
+                run_ret,
+                K,
+                interpret,
+                packed,
+                cells,
+                (border, pool),
+                terr_pack,
+            )
+        )
+        states = CtfState(
+            pos=pos.reshape(B, A, 2),
+            dir=dirs,
+            terminated=term.astype(bool),
+            collided=coll.astype(bool),
+            step_count=sc.reshape(B),
+            key=states.key,
+        )
+        return states, run_ret, rew.sum(), ep_sum.sum(), eps.sum()
+
+    def rollout(states, key, num_steps: int):
+        B = states.pos.shape[0]
+        run_ret = jnp.zeros((B, 1), jnp.float32)
+        reward_sum = jnp.float32(0.0)
+        ep_ret_sum = jnp.float32(0.0)
+        episodes = jnp.int32(0)
+        n_full, rem = divmod(num_steps, chunk)
+
+        def body(carry, _):
+            states, run_ret, key, rs, es, ec = carry
+            key, k = jax.random.split(key)
+            states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
+            return (states, run_ret, key, rs + r, es + e, ec + n), None
+
+        if interpret:
+            for _ in range(n_full):
+                key, k = jax.random.split(key)
+                states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
+                reward_sum += r
+                ep_ret_sum += e
+                episodes += n
+        else:
+            (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
+                jax.lax.scan(
+                    body,
+                    (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
+                    None,
+                    length=n_full,
+                )
+            )
+        if rem:
+            key, k = jax.random.split(key)
+            states, run_ret, r, e, n = _launch(states, run_ret, k, rem)
+            reward_sum += r
+            ep_ret_sum += e
+            episodes += n
+        return states, {
+            "reward_sum": reward_sum,
+            "episodes": episodes,
+            "ep_return_sum": ep_ret_sum,
+            "run_return": run_ret.reshape(B),
+        }
+
+    return rollout

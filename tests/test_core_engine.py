@@ -219,3 +219,44 @@ def test_encode_matches_reference():
     np.testing.assert_array_equal(
         ours.encode_for_agents((2, 2)), theirs.encode_for_agents((2, 2))
     )
+
+
+def test_process_vis_matches_sequential_semantics():
+    """The vectorized row-sweep must reproduce the reference's sequential
+    shadow-cast exactly (reference grid.py:286-323) on random wall
+    layouts.  The oracle below IS that sequential algorithm."""
+    import numpy as np
+    from gym_multigrid_tpu.core import Wall
+
+    def oracle(see, agent_pos):
+        w, h = see.shape
+        mask = np.zeros((w, h), dtype=bool)
+        mask[agent_pos] = True
+        for j in reversed(range(h)):
+            for i in range(w - 1):
+                if mask[i, j] and see[i, j]:
+                    mask[i + 1, j] = True
+                    if j > 0:
+                        mask[i + 1, j - 1] = True
+                        mask[i, j - 1] = True
+            for i in reversed(range(1, w)):
+                if mask[i, j] and see[i, j]:
+                    mask[i - 1, j] = True
+                    if j > 0:
+                        mask[i - 1, j - 1] = True
+                        mask[i, j - 1] = True
+        return mask
+
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        w, h = int(rng.integers(3, 9)), int(rng.integers(3, 9))
+        g = Grid(w, h, DefaultWorld)
+        see = np.ones((w, h), dtype=bool)
+        for _ in range(int(rng.integers(0, w * h // 2))):
+            i, j = int(rng.integers(0, w)), int(rng.integers(0, h))
+            g.set(i, j, Wall(DefaultWorld))
+            see[i, j] = False
+        pos = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+        want = oracle(see, pos)
+        got = g.copy().process_vis(pos)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
