@@ -37,6 +37,18 @@ class PPOConfig:
     max_grad_norm: float = 0.5
 
 
+class RolloutCarry(NamedTuple):
+    """Env batch + per-env running episode return.
+
+    The running return must survive across train_step calls — episodes
+    span rollout boundaries — so it travels with the env states through
+    the (params, opt_state, states, key) training API.
+    """
+
+    env: Any
+    run_return: jax.Array  # (num_envs,) f32
+
+
 class Transition(NamedTuple):
     obs: jax.Array
     actions: jax.Array
@@ -62,14 +74,18 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
 
     def init_fn(key: jax.Array):
         k_env, k_net = jax.random.split(key)
-        states, obs = env.reset(k_env)
+        env_states, obs = env.reset(k_env)
         params = net.init(k_net, obs[:1])
         opt_state = tx.init(params)
+        states = RolloutCarry(
+            env=env_states,
+            run_return=jnp.zeros((env.num_envs,), jnp.float32),
+        )
         return params, opt_state, states
 
-    def _rollout(params, states, key):
+    def _rollout(params, carry_in: RolloutCarry, key):
         def body(carry, _):
-            states, key = carry
+            states, key, run_ret, ep_sum, ep_cnt = carry
             key, k_act = jax.random.split(key)
             obs = jax.vmap(env.encode_one)(states)
             logits, value = net.apply(params, obs)
@@ -78,6 +94,14 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
             # Per-agent rewards (B, A) sum to a team reward; scalar team
             # rewards (B,) — e.g. CtF — pass through.
             team_reward = rewards.sum(axis=-1) if rewards.ndim > 1 else rewards
+            # Per-episode return accounting across the auto-reset boundary
+            # (same scheme as BatchedEnv.rollout) so training logs can
+            # report mean episode return, the metric RL users watch.
+            done = term | trunc
+            run_ret = run_ret + team_reward
+            ep_sum = ep_sum + jnp.where(done, run_ret, 0.0).sum()
+            ep_cnt = ep_cnt + done.sum()
+            run_ret = jnp.where(done, 0.0, run_ret)
             # Bootstrap value for truncation: the value of the post-step
             # observation BEFORE auto-reset (time limits are not true
             # terminals — zeroing the bootstrap there biases GAE on
@@ -101,14 +125,26 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
                 truncated=trunc.astype(jnp.float32),
                 boot_value=boot_value,
             )
-            return (states, key), tr
+            return (states, key, run_ret, ep_sum, ep_cnt), tr
 
-        (states, key), traj = jax.lax.scan(
-            body, (states, key), None, length=cfg.rollout_len
+        init = (
+            carry_in.env,
+            key,
+            carry_in.run_return,
+            jnp.float32(0.0),
+            jnp.int32(0),
         )
-        last_obs = jax.vmap(env.encode_one)(states)
+        (env_states, key, run_ret, ep_sum, ep_cnt), traj = jax.lax.scan(
+            body, init, None, length=cfg.rollout_len
+        )
+        last_obs = jax.vmap(env.encode_one)(env_states)
         _, last_value = net.apply(params, last_obs)
-        return states, traj, last_value
+        ep_stats = {
+            "episodes": ep_cnt,
+            "ep_return_mean": ep_sum / jnp.maximum(ep_cnt, 1),
+        }
+        carry_out = RolloutCarry(env=env_states, run_return=run_ret)
+        return carry_out, traj, last_value, ep_stats
 
     def _gae(traj: Transition, last_value):
         def body(carry, tr):
@@ -172,7 +208,7 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
         ``num_minibatches`` slices, one clipped gradient step each.
         """
         key, k_roll, k_perm = jax.random.split(key, 3)
-        states, traj, last_value = _rollout(params, states, k_roll)
+        states, traj, last_value, ep_stats = _rollout(params, states, k_roll)
         advantages, returns = _gae(traj, last_value)
 
         T, B = traj.reward.shape
@@ -226,6 +262,7 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
         )
         metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         metrics["reward_per_step"] = traj.reward.mean()
+        metrics.update(ep_stats)
         return params, opt_state, states, key, metrics
 
     return init_fn, train_step

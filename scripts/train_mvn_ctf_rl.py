@@ -33,9 +33,18 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--envs", type=int, default=512)
     p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--minibatches", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--map", default="tests/assets/board.txt")
     p.add_argument("--out", default="out")
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
+    p.add_argument(
+        "--no-tensorboard",
+        action="store_true",
+        help="CSV metrics only (skip TB event files)",
+    )
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -58,7 +67,13 @@ def main() -> None:
     use_pallas = jax.default_backend() not in ("cpu",)
     env = make_ctf_batch(cfg, args.envs, auto_reset=True, use_pallas=use_pallas)
     net = ActorCritic(num_actions=5, num_agents=cfg.num_blue_agents)
-    ppo_cfg = PPOConfig(rollout_len=args.rollout_len, num_epochs=2)
+    ppo_cfg = PPOConfig(
+        rollout_len=args.rollout_len,
+        num_epochs=args.epochs,
+        num_minibatches=args.minibatches,
+        lr=args.lr,
+        ent_coef=args.ent_coef,
+    )
     init_fn, train_step = make_ppo(env, net, ppo_cfg)
 
     params, opt_state, states = init_fn(jax.random.PRNGKey(0))
@@ -91,6 +106,15 @@ def main() -> None:
             params = ckpt
             print(f"resumed params only from legacy {model_path}.npz")
 
+    # Persistent metrics: CSV always + TensorBoard events (reference
+    # wires tensorboard_log via SB3, scripts/main_mvn_ctf_rl.py:31).
+    from gym_multigrid_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(
+        os.path.join(args.out, "logs"),
+        use_tensorboard=not args.no_tensorboard,
+    )
+
     step = jax.jit(train_step, donate_argnums=(1, 2))
     env_steps_per_iter = args.envs * args.rollout_len
     t0 = time.perf_counter()
@@ -98,16 +122,34 @@ def main() -> None:
         params, opt_state, states, key, metrics = step(
             params, opt_state, states, key
         )
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        sps = env_steps_per_iter * (it + 1) / dt
+        logger.log(
+            it,
+            {
+                "loss": metrics["loss"],
+                "pg_loss": metrics["pg_loss"],
+                "v_loss": metrics["v_loss"],
+                "entropy": metrics["entropy"],
+                "reward_per_step": metrics["reward_per_step"],
+                "ep_return_mean": metrics["ep_return_mean"],
+                "episodes": metrics["episodes"],
+                "env_steps_per_sec": sps,
+            },
+        )
         if it % 10 == 0 or it == args.iters - 1:
-            jax.block_until_ready(metrics["loss"])
-            dt = time.perf_counter() - t0
-            sps = env_steps_per_iter * (it + 1) / dt
             print(
                 f"iter {it:4d}  loss {float(metrics['loss']):+.4f}  "
                 f"reward/step {float(metrics['reward_per_step']):+.4f}  "
+                f"ep_return {float(metrics['ep_return_mean']):+.3f}  "
                 f"entropy {float(metrics['entropy']):.3f}  "
                 f"env-steps/s {sps:,.0f}"
             )
+    logger.close()
+    print(f"metrics logged to {logger.logdir} (csv" + (
+        " + tensorboard)" if logger.has_tensorboard else ")"
+    ))
 
     save_pytree(
         model_path,
