@@ -41,6 +41,11 @@ def main() -> None:
     p.add_argument("--out", default="out")
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
     p.add_argument(
+        "--no-pallas",
+        action="store_true",
+        help="use the XLA env step even on TPU (faster cold compile)",
+    )
+    p.add_argument(
         "--no-tensorboard",
         action="store_true",
         help="CSV metrics only (skip TB event files)",
@@ -64,7 +69,7 @@ def main() -> None:
         observation_option="flattened",
     )
     # The fused CtF kernel needs real TPU hardware; XLA path elsewhere.
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = jax.default_backend() not in ("cpu",) and not args.no_pallas
     env = make_ctf_batch(cfg, args.envs, auto_reset=True, use_pallas=use_pallas)
     net = ActorCritic(num_actions=5, num_agents=cfg.num_blue_agents)
     ppo_cfg = PPOConfig(
