@@ -64,6 +64,26 @@ def _make_runner(family: str, batch: int, steps: int, use_pallas: bool):
             cfg.num_agents,
         )
 
+    if family == "maze" and use_pallas:
+        # Fused multi-step kernel with in-kernel auto-reset.
+        from gym_multigrid_tpu.envs.maze import MazeConfig
+        from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
+        from gym_multigrid_tpu.parallel.vector import make_maze_batch
+
+        cfg = MazeConfig.from_map_path(
+            os.path.join(
+                os.path.dirname(__file__), "tests/assets/board_maze.txt"
+            ),
+            max_steps=100,
+        )
+        env = make_maze_batch(cfg, batch)
+        rollout = make_maze_episode_rollout(cfg)
+        return (
+            jax.jit(lambda k: env.reset(k)[0]),
+            jax.jit(lambda s, k: rollout(s, k, steps)),
+            1,
+        )
+
     if family == "wildfire" and use_pallas:
         # Fused multi-step kernel with in-kernel per-env auto-reset.
         from gym_multigrid_tpu.envs.wildfire import WildfireConfig

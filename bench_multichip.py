@@ -103,7 +103,7 @@ def build_env(family: str, num_envs: int, use_pallas: bool):
             ),
             max_steps=100,
         )
-        return make_maze_batch(cfg, num_envs), 1
+        return make_maze_batch(cfg, num_envs, use_pallas=use_pallas), 1
     if family == "wildfire":
         from gym_multigrid_tpu.envs.wildfire import WildfireConfig
         from gym_multigrid_tpu.parallel.vector import make_wildfire_batch

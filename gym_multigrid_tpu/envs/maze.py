@@ -226,3 +226,181 @@ def __getattr__(name):
 
         return MazeSingleAgentEnv
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Batched slab math (shared by the XLA batch step and the Pallas kernels,
+# ops/pallas_maze.py — same house style as envs/wildfire.py)
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+
+class MazeTables(NamedTuple):
+    """Static per-config tables (hashable; closed over by the kernels)."""
+
+    s0: int
+    s1: int
+    n_cells: int
+    flag_reward: float
+    obstacle_penalty: float
+    step_penalty: float
+    max_steps: int
+    action_d0: tuple[int, ...]  # row (pos[0]) deltas per action
+    action_d1: tuple[int, ...]
+
+
+def maze_tables(cfg: MazeConfig) -> MazeTables:
+    fm = cfg.field_map
+    return MazeTables(
+        s0=int(fm.shape[0]),
+        s1=int(fm.shape[1]),
+        n_cells=int(fm.size),
+        flag_reward=float(cfg.flag_reward),
+        obstacle_penalty=float(cfg.obstacle_penalty),
+        step_penalty=float(cfg.step_penalty),
+        max_steps=int(cfg.max_steps),
+        action_d0=tuple(int(v[0]) for v in CTF_ACTION_TO_VEC),
+        action_d1=tuple(int(v[1]) for v in CTF_ACTION_TO_VEC),
+    )
+
+
+def maze_static_inputs(cfg: MazeConfig):
+    """(cells (3, N) i32 [can_enter, flag, obstacle], bg (2, n_bg) i32)."""
+    fm = cfg.field_map
+    N = fm.size
+    cells = np.zeros((3, N), dtype=np.int32)
+    if cfg.obstacle_penalty != 0:
+        cells[0] = 1
+    else:
+        cells[0] = (fm != M_OBSTACLE).reshape(-1)
+    cells[1] = (fm == FLAG).reshape(-1)
+    cells[2] = (fm == M_OBSTACLE).reshape(-1)
+    bg = np.argwhere(fm == BACKGROUND).astype(np.int32).T.copy()
+    return jnp.asarray(cells), jnp.asarray(bg)
+
+
+def maze_step_math(t: MazeTables, pos, dirs, acts, cells):
+    """One maze transition for a (B, ·) slab.  Pure jax, Mosaic-safe.
+
+    pos: (B, 2) i32; dirs: (B, 1) i32; acts: (B, 1) i32
+    cells: (3, N) i32 static rows.
+    Returns (pos, dirs, reward (B,1) f32, terminated (B,1) i32).
+    """
+    B = pos.shape[0]
+    N = t.n_cells
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    p0, p1 = pos[:, 0:1], pos[:, 1:2]
+    acts = jnp.clip(acts.astype(jnp.int32), 0, NUM_ACTIONS - 1)
+
+    d0 = jnp.zeros_like(acts)
+    d1 = jnp.zeros_like(acts)
+    for a in range(NUM_ACTIONS):
+        m = acts == a
+        d0 = jnp.where(m, t.action_d0[a], d0)
+        d1 = jnp.where(m, t.action_d1[a], d1)
+    n0, n1 = p0 + d0, p1 + d1
+    inb = (n0 >= 0) & (n1 >= 0) & (n0 < t.s0) & (n1 < t.s1)
+
+    def cell_flag(row, c0, c1):
+        q0 = jnp.clip(c0, 0, t.s0 - 1)
+        q1 = jnp.clip(c1, 0, t.s1 - 1)
+        flat = q0 * t.s1 + q1
+        return (
+            jnp.sum(
+                jnp.where(lane == flat, cells[row][None, :], 0),
+                axis=1,
+                keepdims=True,
+            )
+            > 0
+        )
+
+    # stay (action 0) never moves (maze.py:276-288 + can_move gate in
+    # step_fn above); blocked moves keep pos and dir.
+    can_move = inb & cell_flag(0, n0, n1) & (acts != 0)
+    p0 = jnp.where(can_move, n0, p0)
+    p1 = jnp.where(can_move, n1, p1)
+    new_dir = jnp.zeros_like(acts)
+    for a, d in enumerate((3, 3, 2, 1, 0)):
+        new_dir = jnp.where(acts == a, d, new_dir)
+    dirs = jnp.where(can_move, new_dir, dirs)
+
+    on_flag = cell_flag(1, p0, p1)
+    reward = t.flag_reward * on_flag.astype(jnp.float32)
+    terminated = on_flag
+    if t.obstacle_penalty != 0:
+        on_obs = cell_flag(2, p0, p1)
+        reward = reward - t.obstacle_penalty * on_obs.astype(jnp.float32)
+        terminated = terminated | on_obs
+    reward = reward - t.step_penalty
+
+    return (
+        jnp.concatenate([p0, p1], axis=1),
+        dirs,
+        reward,
+        terminated.astype(jnp.int32),
+    )
+
+
+def maze_reset_math(t: MazeTables, rnd, bg):
+    """Uniform spawn over background cells (maze.py:202-205 semantics).
+
+    rnd: (B, 1) uniforms; bg: (2, n_bg) i32.  Returns (pos (B,2), dirs)."""
+    B = rnd.shape[0]
+    n_bg = bg.shape[1]
+    j = jnp.minimum((rnd * n_bg).astype(jnp.int32), n_bg - 1)
+    # one-hot reduce instead of an unrolled per-cell select chain (same
+    # values, O(1) ops instead of O(n_bg) — matters inside unrolled
+    # multi-step kernels)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_bg), 1)
+    hit = lane == j
+    p0 = jnp.sum(jnp.where(hit, bg[0][None, :], 0), axis=1, keepdims=True)
+    p1 = jnp.sum(jnp.where(hit, bg[1][None, :], 0), axis=1, keepdims=True)
+    return jnp.concatenate([p0, p1], axis=1), jnp.full_like(j, 3)
+
+
+def make_maze_step_batch(cfg: MazeConfig, use_pallas: bool = False):
+    """Whole-batch maze step (BatchedEnv.step_batch contract)."""
+    t = maze_tables(cfg)
+    cells, bg = maze_static_inputs(cfg)
+    fns = make_maze(cfg)
+
+    if use_pallas:
+        from gym_multigrid_tpu.ops.pallas_maze import maze_step_slab
+
+        def run_math(pos, dirs, acts):
+            return maze_step_slab(t, pos, dirs, acts, cells)
+
+    else:
+
+        def run_math(pos, dirs, acts):
+            return maze_step_math(t, pos, dirs, acts, cells)
+
+    def step_batch(states: MazeState, actions: jax.Array):
+        B = states.pos.shape[0]
+        keys = jax.vmap(jax.random.split)(states.key)
+        new_key = keys[:, 0]
+        pos, dirs, reward, term = run_math(
+            states.pos.reshape(B, 2),
+            states.dir.reshape(B, 1),
+            jnp.asarray(actions).reshape(B, 1).astype(jnp.int32),
+        )
+        step_count = states.step_count + 1
+        new_states = MazeState(
+            pos=pos,
+            dir=dirs.reshape(B),
+            step_count=step_count,
+            key=new_key,
+        )
+        obs = jax.vmap(fns.obs_fn)(new_states)
+        info = jax.vmap(fns.info_fn)(new_states)
+        return (
+            new_states,
+            obs,
+            reward[:, 0],
+            term[:, 0].astype(bool),
+            step_count >= cfg.max_steps,
+            info,
+        )
+
+    return step_batch

@@ -8,7 +8,7 @@ from gym_multigrid_tpu.ops.sampling import (
 )
 
 #: env families with a fused Pallas kernel path (ops/pallas_<family>.py)
-_KERNEL_FAMILIES = frozenset({"collect", "ctf", "wildfire"})
+_KERNEL_FAMILIES = frozenset({"collect", "ctf", "maze", "wildfire"})
 
 
 def kernels_available(family: str) -> bool:

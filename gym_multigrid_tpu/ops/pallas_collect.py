@@ -590,6 +590,11 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
             return states, {
                 "reward_sum": reward_sum,
                 "episodes": jnp.int32(B * n_eps),
+                # episodes align with call boundaries here, so every
+                # reward belongs to a completed episode and nothing is in
+                # flight (same keys as BatchedEnv.rollout).
+                "ep_return_sum": reward_sum,
+                "run_return": jnp.zeros((B,), jnp.float32),
             }
 
         # One episode body in the graph, scanned — keeps compile time flat
@@ -605,7 +610,12 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
             body, (states, key, jnp.float32(0.0)), None, length=n_eps
         )
         episodes = jnp.int32(B * n_eps)
-        return states, {"reward_sum": reward_sum, "episodes": episodes}
+        return states, {
+            "reward_sum": reward_sum,
+            "episodes": episodes,
+            "ep_return_sum": reward_sum,
+            "run_return": jnp.zeros((B,), jnp.float32),
+        }
 
     return rollout
 

@@ -608,6 +608,7 @@ def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr, tril_b, tril_r):
     def draw_team(terr, n_cells_, n_agents, base, tril):
         cols = []
         avail = jnp.ones((B, n_cells_), dtype=bool)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_cells_), 1)
         for a in range(n_agents):
             u = rnd[:, base + a : base + a + 1]
             if t.mvn:
@@ -617,12 +618,15 @@ def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr, tril_b, tril_r):
                 idx = jnp.minimum(
                     (u * n_cells_).astype(jnp.int32), n_cells_ - 1
                 )
-            r0 = jnp.zeros((B, 1), jnp.int32)
-            r1 = jnp.zeros((B, 1), jnp.int32)
-            for k in range(n_cells_):
-                m = idx == k
-                r0 = jnp.where(m, terr[0, k], r0)
-                r1 = jnp.where(m, terr[1, k], r1)
+            # one-hot reduce (not an unrolled per-cell select chain —
+            # this runs inside unrolled multi-step kernels)
+            hit_l = lane == idx
+            r0 = jnp.sum(
+                jnp.where(hit_l, terr[0][None, :], 0), axis=1, keepdims=True
+            )
+            r1 = jnp.sum(
+                jnp.where(hit_l, terr[1][None, :], 0), axis=1, keepdims=True
+            )
             cols.extend([r0, r1])
         return cols
 

@@ -1,0 +1,241 @@
+"""Fused Pallas kernels for the Maze step (envs/maze.py owns the math).
+
+Maze has the smallest state of any family — one (2,) position over a
+static board — so the kernels are thin wrappers over the shared slab math:
+
+* ``maze_step_slab`` — one fused transition per launch.
+* ``maze_multistep_slab`` — K transitions per launch with in-kernel
+  per-env auto-reset (flag capture terminates early, so each unrolled
+  step checks done and respawns that env on a uniform background cell).
+
+Same contract as every other family: pre-drawn uniforms, kernel body IS
+the pure-jax spec (tests/test_pallas_maze.py), point queries as one-hot
+lane compares.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_multigrid_tpu.envs.maze import (
+    MazeTables,
+    maze_reset_math,
+    maze_static_inputs,
+    maze_step_math,
+    maze_tables,
+)
+
+MAZE_BLK = 512
+MAZE_MS_BLK = 256
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def maze_step_slab(t: MazeTables, pos, dirs, acts, cells, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B = pos.shape[0]
+    N = t.n_cells
+    blk = min(MAZE_BLK, B)
+    grid = (pl.cdiv(B, blk),)
+
+    def kernel(pos_ref, dirs_ref, acts_ref, cells_ref,
+               pos_out, dirs_out, rew_out, term_out):
+        p, d, r, tm = maze_step_math(
+            t, pos_ref[:], dirs_ref[:], acts_ref[:], cells_ref[:]
+        )
+        pos_out[:] = p
+        dirs_out[:] = d
+        rew_out[:] = r
+        term_out[:] = tm
+
+    def row_spec(cols):
+        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(2),
+            row_spec(1),
+            row_spec(1),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec(2), row_spec(1), row_spec(1), row_spec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 2), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pos, dirs, acts, cells)
+
+
+# packed floats per env per step: [action, reset uniform]
+MS_STRIDE = 2
+
+
+def _maze_ms_math(t: MazeTables, K, pos, dirs, sc, run_ret, packed, cells, bg):
+    """K maze steps with per-env auto-reset — kernel body AND spec."""
+    B = pos.shape[0]
+    rew_sum = jnp.zeros((B, 1), jnp.float32)
+    ep_sum = jnp.zeros((B, 1), jnp.float32)
+    eps = jnp.zeros((B, 1), jnp.int32)
+    for k in range(K):
+        base = k * MS_STRIDE
+        acts = packed[:, base : base + 1].astype(jnp.int32)
+        rnd_reset = packed[:, base + 1 : base + 2]
+
+        pos2, dirs2, reward, term = maze_step_math(t, pos, dirs, acts, cells)
+        sc2 = sc + 1
+        done = (term == 1) | (sc2 >= t.max_steps)
+
+        run_ret2 = run_ret + reward
+        rew_sum = rew_sum + reward
+        ep_sum = ep_sum + jnp.where(done, run_ret2, 0.0)
+        eps = eps + done.astype(jnp.int32)
+        run_ret = jnp.where(done, 0.0, run_ret2)
+
+        rpos, rdirs = maze_reset_math(t, rnd_reset, bg)
+        pos = jnp.where(done, rpos, pos2)
+        dirs = jnp.where(done, rdirs, dirs2)
+        sc = jnp.where(done, 0, sc2)
+    return pos, dirs, sc, run_ret, rew_sum, ep_sum, eps
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def maze_multistep_slab(t: MazeTables, pos, dirs, sc, run_ret, K, interpret,
+                        packed, cells, bg):
+    B = pos.shape[0]
+    N = t.n_cells
+    blk = min(MAZE_MS_BLK, B)
+    grid = (pl.cdiv(B, blk),)
+
+    def kernel(pos_ref, dirs_ref, sc_ref, rr_ref, packed_ref, cells_ref,
+               bg_ref, *outs):
+        res = _maze_ms_math(
+            t, K, pos_ref[:], dirs_ref[:], sc_ref[:], rr_ref[:],
+            packed_ref[:], cells_ref[:], bg_ref[:],
+        )
+        for o_ref, val in zip(outs, res):
+            o_ref[:] = val
+
+    def row_spec(cols):
+        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out_cols = [2, 1, 1, 1, 1, 1, 1]
+    out_dtypes = [jnp.int32, jnp.int32, jnp.int32, jnp.float32,
+                  jnp.float32, jnp.float32, jnp.int32]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(2),
+            row_spec(1),
+            row_spec(1),
+            row_spec(1),
+            row_spec(packed.shape[1]),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, bg.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[row_spec(c) for c in out_cols],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, c), d)
+            for c, d in zip(out_cols, out_dtypes)
+        ],
+        interpret=interpret,
+    )(pos, dirs, sc, run_ret, packed, cells, bg)
+
+
+def make_maze_episode_rollout(cfg, chunk: int = 25, interpret=None):
+    """rollout(states, key, num_steps) on the fused multi-step kernel with
+    in-kernel auto-reset and uniform-random actions; metrics match
+    BatchedEnv.rollout."""
+    from gym_multigrid_tpu.envs.maze import NUM_ACTIONS, MazeState
+
+    t = maze_tables(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cells, bg = maze_static_inputs(cfg)
+
+    def _launch(states, run_ret, key, K):
+        B = states.pos.shape[0]
+        k_a, k_r = jax.random.split(key)
+        acts = jax.random.randint(k_a, (B, K, 1), 0, NUM_ACTIONS).astype(
+            jnp.float32
+        )
+        rnd = jax.random.uniform(k_r, (B, K, 1))
+        packed = jnp.concatenate([acts, rnd], axis=2).reshape(
+            B, K * MS_STRIDE
+        )
+        pos, dirs, sc, run_ret, rew, ep_sum, eps = maze_multistep_slab(
+            t,
+            states.pos.reshape(B, 2),
+            states.dir.reshape(B, 1),
+            states.step_count.reshape(B, 1),
+            run_ret,
+            chunk if K == chunk else K,
+            interpret,
+            packed,
+            cells,
+            bg,
+        )
+        states = MazeState(
+            pos=pos,
+            dir=dirs.reshape(B),
+            step_count=sc.reshape(B),
+            key=states.key,
+        )
+        return states, run_ret, rew.sum(), ep_sum.sum(), eps.sum()
+
+    def rollout(states, key, num_steps: int):
+        B = states.pos.shape[0]
+        run_ret = jnp.zeros((B, 1), jnp.float32)
+        reward_sum = jnp.float32(0.0)
+        ep_ret_sum = jnp.float32(0.0)
+        episodes = jnp.int32(0)
+        n_full, rem = divmod(num_steps, chunk)
+
+        def body(carry, _):
+            states, run_ret, key, rs, es, ec = carry
+            key, k = jax.random.split(key)
+            states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
+            return (states, run_ret, key, rs + r, es + e, ec + n), None
+
+        if interpret:
+            for _ in range(n_full):
+                key, k = jax.random.split(key)
+                states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
+                reward_sum += r
+                ep_ret_sum += e
+                episodes += n
+        else:
+            (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
+                jax.lax.scan(
+                    body,
+                    (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
+                    None,
+                    length=n_full,
+                )
+            )
+        if rem:
+            key, k = jax.random.split(key)
+            states, run_ret, r, e, n = _launch(states, run_ret, k, rem)
+            reward_sum += r
+            ep_ret_sum += e
+            episodes += n
+        return states, {
+            "reward_sum": reward_sum,
+            "episodes": episodes,
+            "ep_return_sum": ep_ret_sum,
+            "run_return": run_ret.reshape(B),
+        }
+
+    return rollout

@@ -212,8 +212,10 @@ def make_ctf_batch(
     )
 
 
-def make_maze_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
-    from gym_multigrid_tpu.envs.maze import make_maze
+def make_maze_batch(
+    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+) -> BatchedEnv:
+    from gym_multigrid_tpu.envs.maze import make_maze, make_maze_step_batch
 
     fns = make_maze(cfg)
 
@@ -226,6 +228,7 @@ def make_maze_batch(cfg, num_envs: int, auto_reset: bool = True) -> BatchedEnv:
         encode_one=fns.obs_fn,
         num_envs=num_envs,
         auto_reset=auto_reset,
+        step_batch=make_maze_step_batch(cfg, use_pallas=use_pallas),
         num_actions=5,
         actions_shape=(),
     )
