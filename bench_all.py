@@ -64,6 +64,29 @@ def _make_runner(family: str, batch: int, steps: int, use_pallas: bool):
             cfg.num_agents,
         )
 
+    if family == "ctf" and use_pallas:
+        # Auto-resetting multi-step episode kernel (10 steps per launch)
+        # beats stepping the single-step kernel under scan.
+        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+        from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
+        from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+
+        cfg = CtfConfig.from_map_path(
+            os.path.join(os.path.dirname(__file__), "tests/assets/board.txt"),
+            num_blue_agents=2,
+            num_red_agents=2,
+            variant="mvn",
+            enemy_policies=(PolicySpec("fight"), PolicySpec("rw")),
+            observation_option="flattened",
+        )
+        env = make_ctf_batch(cfg, batch)
+        rollout = make_ctf_episode_rollout(cfg)
+        return (
+            jax.jit(lambda k: env.reset(k)[0]),
+            jax.jit(lambda s, k: rollout(s, k, steps)),
+            cfg.num_agents,
+        )
+
     if family == "maze" and use_pallas:
         # Fused multi-step kernel with in-kernel auto-reset.
         from gym_multigrid_tpu.envs.maze import MazeConfig

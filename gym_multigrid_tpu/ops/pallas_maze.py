@@ -181,7 +181,7 @@ def make_maze_episode_rollout(cfg, chunk: int = 25, interpret=None):
             states.dir.reshape(B, 1),
             states.step_count.reshape(B, 1),
             run_ret,
-            chunk if K == chunk else K,
+            K,
             interpret,
             packed,
             cells,

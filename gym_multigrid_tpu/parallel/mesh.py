@@ -77,19 +77,12 @@ def param_tp_shardings(params: Any, mesh: Mesh) -> Any:
 def opt_tp_shardings(opt_state: Any, mesh: Mesh) -> Any:
     """Shardings for an optimizer state matching :func:`param_tp_shardings`.
 
-    Adam's mu/nu moments have the params' shapes, so the same shape rule
-    applies: 2D leaves with a 'model'-divisible output dim shard over
-    'model', scalars/counts replicate.  Without this the jitted step
-    reshards the moments of tp-sharded kernels on every call.
+    Adam's mu/nu moments have the params' shapes, so the params' rule
+    applies verbatim (one rule, one place — a drift between the two would
+    silently reintroduce per-call moment resharding).  Without this the
+    jitted step reshards the moments of tp-sharded kernels on every call.
     """
-    tp = mesh.shape["model"]
-
-    def spec(x):
-        if getattr(x, "ndim", 0) == 2 and tp > 1 and x.shape[1] % tp == 0:
-            return NamedSharding(mesh, P(None, "model"))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map(spec, opt_state)
+    return param_tp_shardings(opt_state, mesh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

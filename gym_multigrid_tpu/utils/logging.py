@@ -21,10 +21,23 @@ class MetricsLogger:
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self._csv_path = os.path.join(logdir, "metrics.csv")
+        #: last step already in the CSV (-1 if fresh) — resuming callers
+        #: continue the step axis from here instead of restarting at 0.
+        self.last_step = -1
+        self._fields: list[str] | None = None
+        self._wrote_header = False
+        if os.path.exists(self._csv_path) and os.path.getsize(self._csv_path):
+            # Appending: adopt the existing header as the column contract
+            # so rows never misalign with it.
+            with open(self._csv_path) as f:
+                rows = [r for r in csv.reader(f) if r]
+            if rows:
+                self._fields = rows[0][1:]
+                self._wrote_header = True
+                if len(rows) > 1:
+                    self.last_step = int(float(rows[-1][0]))
         self._csv_file = open(self._csv_path, "a", newline="")
         self._csv = csv.writer(self._csv_file)
-        self._wrote_header = os.path.getsize(self._csv_path) > 0
-        self._fields: list[str] | None = None
         self._tb = None
         if use_tensorboard:
             try:
@@ -42,12 +55,24 @@ class MetricsLogger:
         scalars = {k: float(v) for k, v in scalars.items()}
         if self._fields is None:
             self._fields = sorted(scalars)
-            if not self._wrote_header:
-                self._csv.writerow(["step", *self._fields])
+            self._csv.writerow(["step", *self._fields])
+            self._wrote_header = True
+        elif not set(scalars) <= set(self._fields):
+            # Columns are fixed by the header (first log() or the file
+            # being appended to); extra keys would silently misalign rows.
+            import warnings
+
+            extra = sorted(set(scalars) - set(self._fields))
+            warnings.warn(
+                f"MetricsLogger: keys {extra} not in the CSV header "
+                f"{self._fields}; they go to TensorBoard only",
+                stacklevel=2,
+            )
         self._csv.writerow(
             [step, *(scalars.get(k, float("nan")) for k in self._fields)]
         )
         self._csv_file.flush()
+        self.last_step = step
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, step)

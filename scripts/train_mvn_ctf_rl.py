@@ -90,7 +90,9 @@ def main() -> None:
         # continues bit-exactly.  A legacy params-only .npz (or a snapshot
         # taken at a different --envs) degrades to params-only.
         ckpt = load_pytree(model_path)
-        if isinstance(ckpt, dict) and "params" in ckpt:
+        # A legacy params-only snapshot is itself a dict with a top-level
+        # 'params' key (flax), so detect the full tuple by 'states'.
+        if isinstance(ckpt, dict) and "states" in ckpt:
             params = ckpt["params"]
             same_batch = jax.tree_util.tree_leaves(ckpt["states"])[0].shape[
                 0
@@ -119,17 +121,20 @@ def main() -> None:
         os.path.join(args.out, "logs"),
         use_tensorboard=not args.no_tensorboard,
     )
+    # Resumed runs continue the step axis where the previous run stopped
+    # (appending step 0.. again would interleave two runs in the CSV/TB).
+    it0 = logger.last_step + 1
 
     step = jax.jit(train_step, donate_argnums=(1, 2))
     env_steps_per_iter = args.envs * args.rollout_len
     t0 = time.perf_counter()
-    for it in range(args.iters):
+    for it in range(it0, it0 + args.iters):
         params, opt_state, states, key, metrics = step(
             params, opt_state, states, key
         )
         jax.block_until_ready(metrics["loss"])
         dt = time.perf_counter() - t0
-        sps = env_steps_per_iter * (it + 1) / dt
+        sps = env_steps_per_iter * (it - it0 + 1) / dt
         logger.log(
             it,
             {

@@ -110,3 +110,32 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert m["step"] == [0.0, 1.0, 2.0, 3.0]
     assert m["a"] == [0.0, 1.5, 3.0, 4.5]
     assert m["b"][3] == -3.0
+
+
+def test_metrics_logger_resume_continues_step_axis(tmp_path):
+    """Appending to an existing metrics.csv adopts its header, reports
+    last_step for resume offsets, and warns on unknown keys instead of
+    misaligning rows."""
+    import warnings
+
+    from gym_multigrid_tpu.utils.logging import MetricsLogger, read_metrics_csv
+
+    l1 = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    assert l1.last_step == -1
+    for i in range(3):
+        l1.log(i, {"a": float(i), "b": 0.0})
+    l1.close()
+
+    l2 = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    assert l2.last_step == 2
+    l2.log(3, {"a": 3.0, "b": 1.0})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        l2.log(4, {"a": 4.0, "b": 1.0, "new_key": 9.0})
+    assert any("new_key" in str(x.message) for x in w)
+    l2.close()
+
+    m = read_metrics_csv(str(tmp_path / "metrics.csv"))
+    assert m["step"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert m["a"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert "new_key" not in m
