@@ -18,9 +18,10 @@ table equals jax.random.permutation; ``u < p`` equals the Bernoulli battle
 draw; ``floor(u*n)`` equals uniform integer draws.
 
 Envelope: both variants (MvN shuffled move order / 1v1 fixed blue-then-red
-with episode-ending battle loss and obstacle cells), n_agents <= 4 (covers
-the shipped 1v1 and 2v2 configs).  Outside it ``make_ctf_step_batch``
-warns and returns None so the caller uses the XLA path.
+with episode-ending battle loss and obstacle cells), n_agents <= 8 (move
+order via the A! table up to 4 agents, Fisher-Yates draws beyond).
+Outside it ``make_ctf_step_batch`` warns and returns None so the caller
+uses the XLA path.
 """
 
 from __future__ import annotations
@@ -128,9 +129,18 @@ def ctf_static_inputs(cfg):
     )
 
 
+def n_perm_draws(t: CtfKTables) -> int:
+    """Uniform draws for the MvN move-order permutation: one index into
+    the A! table for small teams, A-1 Fisher–Yates draws otherwise (the
+    table would need A! selects).  Both are exactly uniform permutations
+    (distribution-parity with jax.random.permutation, SURVEY.md §2.3)."""
+    A = t.n_blue + t.n_red
+    return 1 if A <= 4 else A - 1
+
+
 def rnd_width(t: CtfKTables) -> int:
-    """Uniforms per env per step: perm + 3 per red policy + battles."""
-    return 1 + 3 * t.n_red + t.n_blue * t.n_red
+    """Uniforms per env per step: perm draws + 3 per red policy + battles."""
+    return n_perm_draws(t) + 3 * t.n_red + t.n_blue * t.n_red
 
 
 def _cell_flag(cells_row, flat_idx, lane):
@@ -189,9 +199,10 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
         return qx * t.s1 + qy
 
     # ---- scripted red actions from PRE-move state (ctf.py:1297-1301) ----
+    perm_draws = n_perm_draws(t)
     red_acts = []
     for r, (kind, p_opt) in enumerate(t.policies):
-        base = 1 + 3 * r
+        base = perm_draws + 3 * r
         u_t, u_g, u_a = (
             col(rnd, base),
             col(rnd, base + 1),
@@ -282,17 +293,43 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
 
     # ---- sequential moves: MvN shuffles the order (ctf.py:1240-1251);
     # 1v1 is fixed blue-then-red (ctf.py:503-510) ------------------------
-    if t.mvn:
+    if t.mvn and A <= 4:
         perms = list(itertools.permutations(range(A)))
         j = jnp.minimum(
             (col(rnd, 0) * len(perms)).astype(jnp.int32), len(perms) - 1
         )
+    elif t.mvn:
+        # Fisher–Yates: slot k's mover is the floor(u_k * (A-k))-th not-
+        # yet-moved agent — uniform over permutations for any team size.
+        fy_taken = [jnp.zeros((B, 1), jnp.int32) for _ in range(A)]
     for slot in range(A):
         # the slot-th mover's agent id per row
-        if t.mvn:
+        if t.mvn and A <= 4:
             i_vec = jnp.zeros((B, 1), jnp.int32)
             for k, perm in enumerate(perms):
                 i_vec = jnp.where(j == k, perm[slot], i_vec)
+        elif t.mvn:
+            remaining = A - slot
+            if slot < A - 1:
+                u = col(rnd, slot)
+                r_pick = jnp.minimum(
+                    (u * remaining).astype(jnp.int32), remaining - 1
+                )
+            else:
+                r_pick = jnp.zeros((B, 1), jnp.int32)
+            cnt = jnp.zeros((B, 1), jnp.int32)
+            i_vec = jnp.zeros((B, 1), jnp.int32)
+            sel_done = jnp.zeros((B, 1), dtype=bool)
+            for i in range(A):
+                untaken = fy_taken[i] == 0
+                hit = untaken & (cnt == r_pick) & ~sel_done
+                i_vec = jnp.where(hit, i, i_vec)
+                sel_done = sel_done | hit
+                cnt = cnt + untaken.astype(jnp.int32)
+            for i in range(A):
+                fy_taken[i] = jnp.maximum(
+                    fy_taken[i], (i_vec == i).astype(jnp.int32)
+                )
         else:
             i_vec = jnp.full((B, 1), slot, jnp.int32)
 
@@ -358,7 +395,7 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
     # ---- battles, row-major sequential (ctf.py:1358-1420) ---------------
     bbl = [jnp.zeros((B, 1), dtype=bool) for _ in range(t.n_blue)]
     brl = [jnp.zeros((B, 1), dtype=bool) for _ in range(t.n_red)]
-    ub_base = 1 + 3 * t.n_red
+    ub_base = perm_draws + 3 * t.n_red
     k = 0
     for b in range(t.n_blue):
         for r in range(t.n_red):
@@ -497,10 +534,10 @@ def make_ctf_step_batch(cfg, interpret: bool | None = None):
 
     from gym_multigrid_tpu.envs.ctf import CtfState, make_ctf
 
-    if cfg.num_agents > 4:
+    if cfg.num_agents > 8:
         warnings.warn(
             f"use_pallas requested but CtF config has {cfg.num_agents} "
-            "agents (kernel envelope: <= 4); falling back to the XLA path",
+            "agents (kernel envelope: <= 8); falling back to the XLA path",
             stacklevel=2,
         )
         return None
@@ -774,7 +811,7 @@ def make_ctf_episode_rollout(cfg, chunk: int = 10, interpret=None):
     ep_return_sum, run_return)."""
     from gym_multigrid_tpu.envs.ctf import CtfState
 
-    if cfg.num_agents > 4 or any(
+    if cfg.num_agents > 8 or any(
         s.kind not in ("rw", "fight", "capture", "patrol", "patrol_fight")
         for s in cfg.enemy_policies
     ):

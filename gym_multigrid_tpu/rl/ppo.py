@@ -192,11 +192,18 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
         v_loss = 0.5 * jnp.square(value - returns).mean()
         entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
         loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        # SB3-style update diagnostics (ppo.py logs these per update).
+        approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
+        clip_fraction = (
+            (jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32).mean()
+        )
         return loss, {
             "loss": loss,
             "pg_loss": pg_loss,
             "v_loss": v_loss,
             "entropy": entropy,
+            "approx_kl": approx_kl,
+            "clip_fraction": clip_fraction,
         }
 
     def train_step(params, opt_state, states, key):
@@ -262,6 +269,11 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
         )
         metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         metrics["reward_per_step"] = traj.reward.mean()
+        # How much of the return variance the (pre-update) critic explains.
+        ret_var = jnp.var(returns)
+        metrics["explained_variance"] = 1.0 - jnp.var(
+            returns - traj.value
+        ) / (ret_var + 1e-8)
         metrics.update(ep_stats)
         return params, opt_state, states, key, metrics
 

@@ -145,6 +145,9 @@ def main() -> None:
                 "reward_per_step": metrics["reward_per_step"],
                 "ep_return_mean": metrics["ep_return_mean"],
                 "episodes": metrics["episodes"],
+                "approx_kl": metrics["approx_kl"],
+                "clip_fraction": metrics["clip_fraction"],
+                "explained_variance": metrics["explained_variance"],
                 "env_steps_per_sec": sps,
             },
         )

@@ -197,9 +197,9 @@ def test_ctf_envelope_fallback_warns():
     """use_pallas outside the kernel envelope must warn, not silently
     degrade (VERDICT round 1, weak item 5)."""
     cfg = _cfg(
-        num_blue_agents=3,
-        num_red_agents=3,
-        enemy_policies=tuple([PolicySpec("rw")] * 3),
+        num_blue_agents=5,
+        num_red_agents=5,
+        enemy_policies=tuple([PolicySpec("rw")] * 5),
     )
     with pytest.warns(UserWarning, match="falling back"):
         assert make_ctf_step_batch(cfg) is None
@@ -404,3 +404,83 @@ def test_ctf_episode_rollout_invariants():
     assert int(np.asarray(states.step_count).max()) < cfg.max_steps
     pos = np.asarray(states.pos)
     assert pos.min() >= 0 and pos.max() < 10
+
+
+def test_ctf_kernel_matches_spec_3v3():
+    """A = 6 > 4: move order switches to Fisher-Yates draws; kernel and
+    spec still agree bit-for-bit."""
+    cfg = _cfg(
+        num_blue_agents=3,
+        num_red_agents=3,
+        enemy_policies=(
+            PolicySpec("rw"),
+            PolicySpec("fight"),
+            PolicySpec("capture"),
+        ),
+    )
+    t = make_ctf_ktables(cfg)
+    cells, border, pool = ctf_static_inputs(cfg)
+    B = 16
+    rng = np.random.default_rng(11)
+    pos = rng.integers(0, 10, size=(B, 6, 2)).tolist()
+    pos_a, dirs, term, coll = _arrays(cfg, pos)
+    ba = jnp.asarray(rng.integers(0, 5, size=(B, 3)), jnp.int32)
+    rnd = jnp.asarray(rng.random((B, rnd_width(t))), jnp.float32)
+
+    want = _ctf_step_math(
+        t, pos_a, dirs, term, coll, ba, rnd, cells, border, pool
+    )
+    got = ctf_step_slab(
+        t, pos_a, dirs, term, coll, ba, rnd, cells, (border, pool), True
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_ctf_fisher_yates_order_is_uniform():
+    """The >4-agent move order must be a uniform permutation: each agent
+    occupies each slot ~1/A of the time.  We probe via the spec's selection
+    logic replicated on sampled uniforms (chi-square-ish tolerance)."""
+    A = 6
+    rng = np.random.default_rng(12)
+    n = 20000
+    counts = np.zeros((A, A), dtype=int)  # [slot, agent]
+    u = rng.random((n, A - 1))
+    for trial in range(n):
+        taken = [False] * A
+        for slot in range(A):
+            remaining = A - slot
+            r = min(int(u[trial, slot] * remaining), remaining - 1) if slot < A - 1 else 0
+            cnt = 0
+            for i in range(A):
+                if not taken[i]:
+                    if cnt == r:
+                        counts[slot, i] += 1
+                        taken[i] = True
+                        break
+                    cnt += 1
+    freq = counts / n
+    np.testing.assert_allclose(freq, 1.0 / A, atol=0.015)
+
+
+def test_ctf_3v3_step_batch_distribution_matches_xla():
+    cfg = _cfg(
+        num_blue_agents=3,
+        num_red_agents=3,
+        enemy_policies=tuple([PolicySpec("rw")] * 3),
+    )
+    from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+
+    n, steps = 32, 40
+
+    def rate(use_pallas, seed):
+        env = make_ctf_batch(cfg, n, use_pallas=use_pallas)
+        if use_pallas:
+            assert env.step_batch is not None
+        states, _ = env.reset(jax.random.PRNGKey(seed))
+        states, m = env.rollout(states, jax.random.PRNGKey(seed + 1), steps)
+        return float(m["reward_sum"]) / (n * steps)
+
+    rx = np.mean([rate(False, s) for s in range(2)])
+    rp = np.mean([rate(True, s) for s in range(2)])
+    assert abs(rx - rp) < 0.03, (rx, rp)
