@@ -50,6 +50,13 @@ def parse_args(argv=None):
         help="comma-separated device counts to measure (default: 1,2,4,..,N)",
     )
     p.add_argument("--json-only", action="store_true")
+    p.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu"],
+        help="pin the backend (e.g. cpu for a fair single-core baseline "
+        "point against a multi-device CPU-mesh run)",
+    )
     return p.parse_args(argv)
 
 
@@ -209,7 +216,9 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    if args.devices > 1 and os.environ.get("BENCH_REAL_MULTICHIP") != "1":
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif args.devices > 1 and os.environ.get("BENCH_REAL_MULTICHIP") != "1":
         # This environment exposes ONE real chip behind a tunnel, and the
         # platform choice must flip BEFORE any jax op initializes the
         # backend — so multi-chip points default to the virtual CPU mesh.
