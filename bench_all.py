@@ -173,10 +173,12 @@ def main(argv=None):
         from gym_multigrid_tpu.ops import kernels_available
 
         has_kernel = on_tpu and kernels_available(family)
-        if family == "wildfire" and on_tpu:
-            # The batched-math XLA path (spread stencil as one MXU matmul)
-            # measures faster than the fused kernel here: 61.7M vs 33.5M
-            # agent-steps/s on v5e @ 8192 — XLA is the headline path.
+        if family in ("wildfire", "ctf") and on_tpu:
+            # The slab-math XLA paths measure faster than the fused
+            # kernels here (wildfire 62.7M vs 33.5M, CtF 106.1M vs 54.0M
+            # agent-steps/s on v5e @ 8192) — XLA is the headline path; the
+            # compiler pipelines the pre-drawn uniform stream better than
+            # the VMEM-resident kernels.
             paths.append(("xla", False))
             if args.xla_also and has_kernel:
                 paths.append(("pallas", True))

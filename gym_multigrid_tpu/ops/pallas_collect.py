@@ -296,13 +296,14 @@ def collect_step_slab(t: _Tables, go, gc, gs, pos, acts, rnd, interpret=False):
     )(go, gc, gs, pos, acts, rnd, rects, tril)
 
 
-def make_collect_step_batch(cfg, interpret: bool | None = None):
-    """Batch-level Collect step using the fused kernel.
+def make_collect_step_batch(cfg, interpret: bool | None = None,
+                            use_kernel: bool = True):
+    """Batch-level Collect step (BatchedEnv.step_batch contract).
 
-    Returns step_batch(states, actions) with the same contract as
-    vmap(step_one): (states', obs, rewards, term, trunc, info).  ``states``
-    leaves carry a leading batch axis.  Falls back to None when the config
-    is outside the kernel's envelope (the caller then uses the XLA path).
+    use_kernel=True runs the fused Pallas kernel; False runs the identical
+    slab math (:func:`_step_math`) as one plain-XLA whole-batch program —
+    the default XLA path, faster than vmap(step_one).  Returns None when
+    the config is outside the envelope (caller falls back to vmap).
     """
     from gym_multigrid_tpu.envs.collect import (
         CollectState,
@@ -312,13 +313,15 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
     )
 
     if cfg.num_agents not in (1, 2):
-        import warnings
+        if use_kernel:
+            import warnings
 
-        warnings.warn(
-            f"use_pallas requested but Collect config has {cfg.num_agents} "
-            "agents (kernel envelope: 1 or 2); falling back to the XLA path",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"use_pallas requested but Collect config has "
+                f"{cfg.num_agents} agents (kernel envelope: 1 or 2); "
+                "falling back to the XLA path",
+                stacklevel=2,
+            )
         return None
     t = make_tables(cfg)
     if interpret is None:
@@ -337,16 +340,35 @@ def make_collect_step_batch(cfg, interpret: bool | None = None):
         rnd = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(k_rnd)
 
         pos = states.agent_pos.reshape(B, -1)
-        go, gc, gs, pos, picked = collect_step_slab(
-            t,
-            states.grid_obj,
-            states.grid_color,
-            states.grid_slot,
-            pos,
-            actions.astype(jnp.int32),
-            rnd,
-            interpret,
-        )
+        if use_kernel:
+            go, gc, gs, pos, picked = collect_step_slab(
+                t,
+                states.grid_obj,
+                states.grid_color,
+                states.grid_slot,
+                pos,
+                actions.astype(jnp.int32),
+                rnd,
+                interpret,
+            )
+        else:
+            # Same math, plain XLA whole-batch program.
+            C = states.grid_obj.shape[1]
+            rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
+            tril = jnp.asarray(
+                np.tril(np.ones((C, C), dtype=np.float32)).T
+            )
+            go, gc, gs, pos, picked = _step_math(
+                t,
+                states.grid_obj,
+                states.grid_color,
+                states.grid_slot,
+                pos,
+                actions.astype(jnp.int32),
+                rnd,
+                rects,
+                tril,
+            )
 
         got_ball = picked >= 0  # (B, A); picked is the reward-table slot
         ps = jnp.clip(picked, 0, slot_rewards.shape[0] - 1)

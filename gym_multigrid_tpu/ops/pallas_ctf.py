@@ -524,33 +524,40 @@ def ctf_step_slab(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
     )(pos, dirs, term, coll, blue_actions, rnd, cells, border, pool)
 
 
-def make_ctf_step_batch(cfg, interpret: bool | None = None):
-    """Batch-level CtF step via the fused kernel (BatchedEnv.step_batch).
+def make_ctf_step_batch(cfg, interpret: bool | None = None,
+                        use_kernel: bool = True):
+    """Batch-level CtF step (BatchedEnv.step_batch contract).
 
-    Returns None when the config is outside the kernel envelope; the caller
-    falls back to the XLA path.
+    use_kernel=True runs the fused Pallas kernel; False runs the identical
+    slab math as one plain-XLA whole-batch program (much faster than
+    vmap(step_one)'s per-agent scalar chains — the default XLA path).
+    Returns None when the config is outside the envelope; the caller
+    falls back to vmap.
     """
     import warnings
 
     from gym_multigrid_tpu.envs.ctf import CtfState, make_ctf
 
     if cfg.num_agents > 8:
-        warnings.warn(
-            f"use_pallas requested but CtF config has {cfg.num_agents} "
-            "agents (kernel envelope: <= 8); falling back to the XLA path",
-            stacklevel=2,
-        )
+        if use_kernel:
+            warnings.warn(
+                f"use_pallas requested but CtF config has {cfg.num_agents} "
+                "agents (kernel envelope: <= 8); falling back to the XLA "
+                "path",
+                stacklevel=2,
+            )
         return None
     if any(
         s.kind not in ("rw", "fight", "capture", "patrol", "patrol_fight")
         for s in cfg.enemy_policies
     ):
-        warnings.warn(
-            "use_pallas requested but an enemy PolicySpec is outside the "
-            "kernel envelope (rw/fight/capture/patrol/patrol_fight); "
-            "falling back to the XLA path",
-            stacklevel=2,
-        )
+        if use_kernel:
+            warnings.warn(
+                "use_pallas requested but an enemy PolicySpec is outside "
+                "the kernel envelope (rw/fight/capture/patrol/"
+                "patrol_fight); falling back to the XLA path",
+                stacklevel=2,
+            )
         return None
     t = make_ctf_ktables(cfg)
     if interpret is None:
@@ -566,20 +573,24 @@ def make_ctf_step_batch(cfg, interpret: bool | None = None):
         new_key, k_rnd = keys[:, 0], keys[:, 1]
         rnd = jax.vmap(lambda k: jax.random.uniform(k, (R,)))(k_rnd)
 
-        (pos, dirs, term, coll, reward, ep_term, rfc, bfc, bbl, brl) = (
-            ctf_step_slab(
-                t,
-                states.pos.reshape(B, -1),
-                states.dir,
-                states.terminated.astype(jnp.int32),
-                states.collided.astype(jnp.int32),
-                jnp.asarray(blue_actions).reshape(B, -1).astype(jnp.int32),
-                rnd,
-                cells,
-                (border, pool),
-                interpret,
-            )
+        args = (
+            states.pos.reshape(B, -1),
+            states.dir,
+            states.terminated.astype(jnp.int32),
+            states.collided.astype(jnp.int32),
+            jnp.asarray(blue_actions).reshape(B, -1).astype(jnp.int32),
+            rnd,
         )
+        if use_kernel:
+            (pos, dirs, term, coll, reward, ep_term, rfc, bfc, bbl, brl) = (
+                ctf_step_slab(t, *args, cells, (border, pool), interpret)
+            )
+        else:
+            # Same math, plain XLA: one whole-batch program, no vmap over
+            # per-agent scalar chains.
+            (pos, dirs, term, coll, reward, ep_term, rfc, bfc, bbl, brl) = (
+                _ctf_step_math(t, *args, cells, border, pool)
+            )
         step_count = states.step_count + 1
         new_states = CtfState(
             pos=pos.reshape(B, A, 2),

@@ -166,11 +166,11 @@ def make_collect_batch(
     from gym_multigrid_tpu.envs.collect import make_collect
 
     reset_one, step_one, encode_one = make_collect(cfg)
-    step_batch = None
-    if use_pallas:
-        from gym_multigrid_tpu.ops.pallas_collect import make_collect_step_batch
+    # Slab math is the default XLA path (see make_ctf_batch); the fused
+    # kernel replaces it on real TPUs when requested.
+    from gym_multigrid_tpu.ops.pallas_collect import make_collect_step_batch
 
-        step_batch = make_collect_step_batch(cfg)
+    step_batch = make_collect_step_batch(cfg, use_kernel=use_pallas)
     return BatchedEnv(
         reset_one=reset_one,
         step_one=step_one,
@@ -195,11 +195,12 @@ def make_ctf_batch(
     def step_one(state, blue_actions):
         return fns.step_fn(state, blue_actions)
 
-    step_batch = None
-    if use_pallas:
-        from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_step_batch
+    # Whole-batch slab math (shared with the kernel) is the default XLA
+    # path — vmap(step_one)'s per-agent scalar chains are ~4x slower at
+    # batch scale; exotic policy specs silently fall back to vmap.
+    from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_step_batch
 
-        step_batch = make_ctf_step_batch(cfg)
+    step_batch = make_ctf_step_batch(cfg, use_kernel=use_pallas)
     return BatchedEnv(
         reset_one=fns.reset_fn,
         step_one=step_one,

@@ -334,3 +334,128 @@ def render_wildfire(cfg, state, tile_size: int = TILE_PIXELS) -> np.ndarray:
     for i, ci in enumerate(cfg.agents_index):
         ids[int(pos[i, 1]), int(pos[i, 0])] = 4 + int(ci)
     return assemble(_wildfire_bank(tile_size), ids)
+
+
+# ---------------------------------------------------------------------------
+# Batched on-device rendering
+# ---------------------------------------------------------------------------
+#
+# The sprite banks are static (B-independent) and `assemble` is a pure
+# gather, so whole env batches render on device: compute (B, H, W) tile ids
+# with jnp ops and gather the bank once.  Returns (B, H*T, W*T, 3) uint8 —
+# jit/vmap-friendly, e.g. for training-video grids straight off a rollout.
+
+
+def _assemble_batch(bank, ids):
+    import jax
+    import jax.numpy as jnp
+
+    bank = jnp.asarray(bank)
+    return jax.vmap(lambda i: assemble(bank, i))(ids)
+
+
+def render_collect_batch(cfg, states, tile_size: int = TILE_PIXELS):
+    """(B, ...) CollectState batch -> (B, H*T, W*T, 3) uint8 on device."""
+    import jax.numpy as jnp
+
+    from gym_multigrid_tpu.envs.collect import AGENT, BALL, WALL
+
+    ncol = 10
+    obj = jnp.asarray(states.grid_obj).reshape(-1, cfg.height, cfg.width)
+    color = jnp.asarray(states.grid_color).reshape(-1, cfg.height, cfg.width)
+    ids = jnp.zeros_like(obj)
+    ids = jnp.where(obj == WALL, 1, ids)
+    ids = jnp.where(obj == BALL, 2 + color, ids)
+    ids = jnp.where(obj == AGENT, 2 + ncol + color, ids)
+    return _assemble_batch(_collect_bank(tile_size), ids)
+
+
+def render_wildfire_batch(cfg, states, tile_size: int = TILE_PIXELS):
+    """(B, ...) WildfireState batch -> (B, H*T, W*T, 3) uint8 on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_multigrid_tpu.envs.wildfire import BURNT, FIRE, TREE
+
+    cells = jnp.asarray(states.cells)  # (B, H, W)
+    ids = jnp.zeros_like(cells)
+    ids = jnp.where(cells == TREE, 1, ids)
+    ids = jnp.where(cells == FIRE, 2, ids)
+    ids = jnp.where(cells == BURNT, 3, ids)
+    pos = jnp.asarray(states.agent_pos)  # (B, A, 2) as (x, y)
+
+    def put_agents(ids_b, pos_b):
+        for i, ci in enumerate(cfg.agents_index):
+            ids_b = ids_b.at[pos_b[i, 1], pos_b[i, 0]].set(4 + int(ci))
+        return ids_b
+
+    ids = jax.vmap(put_agents)(ids, pos)
+    return _assemble_batch(_wildfire_bank(tile_size), ids)
+
+
+def render_ctf_batch(cfg, states, tile_size: int = TILE_PIXELS):
+    """(B, ...) CtfState batch -> (B, H*T, W*T, 3) uint8 on device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_multigrid_tpu.envs.ctf import (
+        BLUE_FLAG,
+        BLUE_TERRITORY,
+        OBSTACLE,
+        RED_FLAG,
+        RED_TERRITORY,
+        build_tables,
+    )
+
+    t = build_tables(cfg)
+    fm = t.fm
+    base = np.zeros(fm.shape, dtype=np.int32)
+    base[fm == BLUE_TERRITORY] = 1
+    base[fm == RED_TERRITORY] = 2
+    base[fm == OBSTACLE] = 3
+    base[fm == BLUE_FLAG] = 4
+    base[fm == RED_FLAG] = 5
+    base = jnp.asarray(base)
+    blue_mask = jnp.asarray(t.blue_mask)
+    red_mask = jnp.asarray(t.red_mask)
+    n_blue = cfg.num_blue_agents
+
+    def one(pos, dirs, term):
+        ids = base
+        for a in range(pos.shape[0]):
+            i, j = pos[a, 0], pos[a, 1]
+            color = jnp.int32(0 if a < n_blue else 1) + jnp.where(term[a], 2, 0)
+            bg = jnp.where(blue_mask[i, j], 0, jnp.where(red_mask[i, j], 1, 2))
+            tile = _CTF_AGENT_BASE + (color * 3 + bg) * 4 + dirs[a] % 4
+            ids = ids.at[i, j].set(tile)
+        return ids.T
+
+    ids = jax.vmap(one)(
+        jnp.asarray(states.pos),
+        jnp.asarray(states.dir),
+        jnp.asarray(states.terminated),
+    )
+    return _assemble_batch(_ctf_bank(tile_size), ids)
+
+
+def render_maze_batch(cfg, states, tile_size: int = TILE_PIXELS):
+    """(B, ...) MazeState batch -> (B, H*T, W*T, 3) uint8 on device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_multigrid_tpu.envs.maze import BACKGROUND, FLAG, M_OBSTACLE
+
+    fm = cfg.field_map
+    base = np.zeros(fm.shape, dtype=np.int32)
+    base[fm == BACKGROUND] = 1
+    base[fm == M_OBSTACLE] = 2
+    base[fm == FLAG] = 3
+    base = jnp.asarray(base)
+
+    def one(pos, d):
+        return base.at[pos[0], pos[1]].set(4 + d % 4).T
+
+    ids = jax.vmap(one)(jnp.asarray(states.pos), jnp.asarray(states.dir))
+    return _assemble_batch(_maze_bank(tile_size), ids)
