@@ -38,6 +38,12 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--map", default="tests/assets/board.txt")
+    p.add_argument(
+        "--opponents",
+        default="rw,rw",
+        help="comma list of red PolicySpec kinds (rw/fight/capture/"
+        "patrol/patrol_fight), one per red agent",
+    )
     p.add_argument("--out", default="out")
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
     p.add_argument(
@@ -60,12 +66,13 @@ def main() -> None:
     from gym_multigrid_tpu.rl.ppo import PPOConfig, make_ppo
     from gym_multigrid_tpu.utils.checkpoint import load_pytree, save_pytree
 
+    opponents = tuple(PolicySpec(k) for k in args.opponents.split(","))
     cfg = CtfConfig.from_map_path(
         args.map,
         num_blue_agents=2,
-        num_red_agents=2,
+        num_red_agents=len(opponents),
         variant="mvn",
-        enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
+        enemy_policies=opponents,
         observation_option="flattened",
     )
     # The fused CtF kernel needs real TPU hardware; XLA path elsewhere.
@@ -103,6 +110,17 @@ def main() -> None:
                     ckpt["states"],
                     ckpt["key"],
                 )
+                # Snapshots from before the RolloutCarry wrapper hold raw
+                # env states; wrap them (running returns restart at 0).
+                from gym_multigrid_tpu.rl.ppo import RolloutCarry
+
+                if not isinstance(states, RolloutCarry):
+                    import jax.numpy as jnp
+
+                    states = RolloutCarry(
+                        env=states,
+                        run_return=jnp.zeros((args.envs,), jnp.float32),
+                    )
                 print(f"resumed full state from {model_path}.npz")
             else:
                 print(
@@ -173,10 +191,26 @@ def main() -> None:
     # Greedy rollout gif through the reference-compatible adapter.
     from gym_multigrid_tpu.envs import CtFMvNEnv
 
+    from gym_multigrid_tpu.policy.ctf.heuristic import (
+        CapturePolicy,
+        FightPolicy,
+        PatrolFightPolicy,
+        PatrolPolicy,
+        RwPolicy,
+    )
+
+    _policy_cls = {
+        "rw": RwPolicy,
+        "fight": FightPolicy,
+        "capture": CapturePolicy,
+        "patrol": PatrolPolicy,
+        "patrol_fight": PatrolFightPolicy,
+    }
     genv = CtFMvNEnv(
         num_blue_agents=2,
-        num_red_agents=2,
+        num_red_agents=len(opponents),
         map_path=args.map,
+        enemy_policies=[_policy_cls[s.kind]() for s in opponents],
         render_mode="rgb_array",
         observation_option="flattened",
     )
