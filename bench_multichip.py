@@ -218,7 +218,11 @@ def main(argv=None):
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    elif args.devices > 1 and os.environ.get("BENCH_REAL_MULTICHIP") != "1":
+    elif (
+        args.platform != "tpu"
+        and args.devices > 1
+        and os.environ.get("BENCH_REAL_MULTICHIP") != "1"
+    ):
         # This environment exposes ONE real chip behind a tunnel, and the
         # platform choice must flip BEFORE any jax op initializes the
         # backend — so multi-chip points default to the virtual CPU mesh.

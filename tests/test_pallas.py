@@ -79,13 +79,19 @@ def test_step_batch_invariants():
     assert int(jnp.sum(states.collected)) >= 0
 
 
-def test_pallas_and_xla_paths_agree_in_distribution():
-    """Same seeds/policies over many steps: aggregate statistics must agree
-    between the fused kernel and the reference XLA path (streams differ, so
-    compare expectations, not trajectories)."""
+def test_pallas_and_slab_agree_with_vmapped_core_distribution():
+    """Aggregate statistics must agree across all THREE step paths: the
+    vmapped per-env core (envs/collect.py — the semantics source of
+    truth), the slab-math XLA batch (the default), and the fused kernel.
+    Streams differ, so compare expectations, not trajectories.  Pinning
+    the vmap core keeps this a real differential — slab vs kernel alone
+    would compare _step_math against itself."""
+    import dataclasses
+
     n, steps = 64, 60
-    env_x = make_collect_batch(CFG, n, use_pallas=False)
-    env_p = make_collect_batch(CFG, n, use_pallas=True)
+    env_s = make_collect_batch(CFG, n, use_pallas=False)  # slab XLA
+    env_p = make_collect_batch(CFG, n, use_pallas=True)  # fused kernel
+    env_core = dataclasses.replace(env_s, step_batch=None)  # vmap core
 
     def total_reward(env, seed):
         states, _ = env.reset(jax.random.PRNGKey(seed))
@@ -95,10 +101,12 @@ def test_pallas_and_xla_paths_agree_in_distribution():
         )
         return float(metrics["reward_sum"]) / (n * steps)
 
-    rx = np.mean([total_reward(env_x, s) for s in range(3)])
+    rc = np.mean([total_reward(env_core, s) for s in range(3)])
+    rs = np.mean([total_reward(env_s, s) for s in range(3)])
     rp = np.mean([total_reward(env_p, s) for s in range(3)])
     # Random-walk pickup rates should match within sampling noise.
-    assert abs(rx - rp) < 0.03, (rx, rp)
+    assert abs(rc - rs) < 0.03, (rc, rs)
+    assert abs(rc - rp) < 0.03, (rc, rp)
 
 
 def test_even_layout_no_respawn_terminates():

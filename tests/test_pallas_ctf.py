@@ -298,22 +298,30 @@ def test_ctf_step_batch_episodes():
 
 
 def test_ctf_pallas_xla_distribution_agreement():
-    """Aggregate reward rates agree between the fused kernel and the XLA
-    path (streams differ; expectations must not)."""
+    """Aggregate reward rates agree across the vmapped per-env core (the
+    semantics source of truth), the slab-math default, and the fused
+    kernel (streams differ; expectations must not)."""
+    import dataclasses
+
     cfg = _cfg(enemy_policies=(PolicySpec("capture"), PolicySpec("rw")))
     from gym_multigrid_tpu.parallel.vector import make_ctf_batch
 
     n, steps = 48, 50
 
-    def rate(use_pallas, seed):
-        env = make_ctf_batch(cfg, n, use_pallas=use_pallas)
+    def rate(env, seed):
         states, _ = env.reset(jax.random.PRNGKey(seed))
         states, m = env.rollout(states, jax.random.PRNGKey(seed + 1), steps)
         return float(m["reward_sum"]) / (n * steps)
 
-    rx = np.mean([rate(False, s) for s in range(3)])
-    rp = np.mean([rate(True, s) for s in range(3)])
-    assert abs(rx - rp) < 0.02, (rx, rp)
+    env_s = make_ctf_batch(cfg, n, use_pallas=False)
+    env_p = make_ctf_batch(cfg, n, use_pallas=True)
+    env_core = dataclasses.replace(env_s, step_batch=None)
+
+    rc = np.mean([rate(env_core, s) for s in range(3)])
+    rs = np.mean([rate(env_s, s) for s in range(3)])
+    rp = np.mean([rate(env_p, s) for s in range(3)])
+    assert abs(rc - rs) < 0.02, (rc, rs)
+    assert abs(rc - rp) < 0.02, (rc, rp)
 
 
 def test_ctf_multistep_kernel_matches_spec():
@@ -463,7 +471,11 @@ def test_ctf_fisher_yates_order_is_uniform():
     np.testing.assert_allclose(freq, 1.0 / A, atol=0.015)
 
 
-def test_ctf_3v3_step_batch_distribution_matches_xla():
+def test_ctf_3v3_step_batch_distribution_matches_core():
+    """A=6 (Fisher-Yates move order): slab batch and fused kernel both
+    agree with the vmapped per-env core distributionally."""
+    import dataclasses
+
     cfg = _cfg(
         num_blue_agents=3,
         num_red_agents=3,
@@ -473,14 +485,18 @@ def test_ctf_3v3_step_batch_distribution_matches_xla():
 
     n, steps = 32, 40
 
-    def rate(use_pallas, seed):
-        env = make_ctf_batch(cfg, n, use_pallas=use_pallas)
-        if use_pallas:
-            assert env.step_batch is not None
+    def rate(env, seed):
         states, _ = env.reset(jax.random.PRNGKey(seed))
         states, m = env.rollout(states, jax.random.PRNGKey(seed + 1), steps)
         return float(m["reward_sum"]) / (n * steps)
 
-    rx = np.mean([rate(False, s) for s in range(2)])
-    rp = np.mean([rate(True, s) for s in range(2)])
-    assert abs(rx - rp) < 0.03, (rx, rp)
+    env_s = make_ctf_batch(cfg, n, use_pallas=False)
+    env_p = make_ctf_batch(cfg, n, use_pallas=True)
+    assert env_p.step_batch is not None
+    env_core = dataclasses.replace(env_s, step_batch=None)
+
+    rc = np.mean([rate(env_core, s) for s in range(2)])
+    rs = np.mean([rate(env_s, s) for s in range(2)])
+    rp = np.mean([rate(env_p, s) for s in range(2)])
+    assert abs(rc - rs) < 0.03, (rc, rs)
+    assert abs(rc - rp) < 0.03, (rc, rp)

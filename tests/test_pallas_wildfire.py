@@ -137,3 +137,25 @@ def test_reset_math_distribution():
     pos = np.asarray(pos).reshape(64, t.n_agents, 2)
     for b in range(64):
         assert len({tuple(p) for p in pos[b]}) == t.n_agents
+
+
+def test_wildfire_slab_matches_vmapped_core_distribution():
+    """The slab batch (default path) must agree with the vmapped per-env
+    core distributionally — fire burn-down rates and rewards (streams
+    differ: the core draws per-env inside step_fn)."""
+    import dataclasses
+
+    env_s = make_wildfire_batch(CFG, num_envs=48)
+    env_core = dataclasses.replace(env_s, step_batch=None)
+
+    def stats(env, seed):
+        states, _ = jax.jit(env.reset)(jax.random.PRNGKey(seed))
+        states, m = jax.jit(lambda s, k: env.rollout(s, k, 40))(
+            states, jax.random.PRNGKey(seed + 1)
+        )
+        burning = float(np.asarray(states.cells == 2).mean())
+        return float(m["reward_sum"]) / (48 * 40), burning
+
+    rs = np.mean([stats(env_s, s)[0] for s in range(2)])
+    rc = np.mean([stats(env_core, s)[0] for s in range(2)])
+    assert abs(rs - rc) < 0.05, (rs, rc)

@@ -22,19 +22,31 @@ def test_vector_env_api(family):
 
 
 def test_vector_env_autoreset_next_step():
-    """Gymnasium 1.x NextStep semantics: the finishing step reports the
-    final transition; the next step runs from a fresh episode."""
+    """Gymnasium 1.x AutoresetMode.NEXT_STEP: the finishing step reports
+    the final transition; the FOLLOWING step ignores the action and
+    returns the fresh episode's first observation with reward 0; real
+    stepping resumes the call after that (sync_vector_env semantics)."""
     venv = make_vector_env("collect", num_envs=4, max_steps=5)
     venv.reset(seed=1)
-    done_seen = False
     for t in range(5):
-        _, _, term, trunc, _ = venv.step(venv.action_space.sample())
+        _, rew, term, trunc, _ = venv.step(venv.action_space.sample())
     assert trunc.all()  # 5-step horizon hits on step 5 in lockstep
-    # the in-graph auto-reset already replaced the states
+    # in-graph auto-reset already replaced the states
     assert int(np.asarray(venv.states.step_count).max()) == 0
-    # next step runs from the fresh episode: step_count = 1, no dones
-    _, _, term, trunc, _ = venv.step(venv.action_space.sample())
+    # reset step: action ignored, reward 0, no dones, state untouched
+    obs_r, rew, term, trunc, _ = venv.step(venv.action_space.sample())
+    assert (rew == 0).all()
     assert not term.any() and not trunc.any()
+    assert int(np.asarray(venv.states.step_count).max()) == 0
+    # the reset step's obs is exactly the fresh state's encoding
+    import jax
+
+    expected = np.asarray(
+        jax.vmap(venv._env.encode_one)(venv.states)
+    )
+    np.testing.assert_array_equal(obs_r, expected)
+    # next call steps for real
+    _, _, term, trunc, _ = venv.step(venv.action_space.sample())
     assert int(np.asarray(venv.states.step_count).min()) == 1
 
 
