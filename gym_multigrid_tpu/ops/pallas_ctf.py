@@ -168,12 +168,12 @@ def _optimal_action_cols(cr, cc, tr, tc):
 
 def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
                    cells, border, pool):
-    """One MvN CtF transition for a (B, ·) slab.
+    """One CtF transition (both variants) for a (B, ·) slab.
 
     pos:  (B, 2*A) i32; dirs/term/coll: (B, A) i32 (0/1 flags)
     blue_actions: (B, n_blue) i32
     rnd:  (B, rnd_width) f32 uniforms
-    cells: (3, N) i32 rows [can_enter, blue_mask, red_mask]
+    cells: (4, N) i32 rows [can_enter, blue_mask, red_mask, obstacle_mask]
     border/pool: (2, nb)/(2, np) i32 patrol tables
 
     Returns (pos, dirs, term, coll, reward(B,1), episode_term(B,1) i32,

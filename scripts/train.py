@@ -1,0 +1,200 @@
+"""Generic PPO training for ANY env family (the CtF-specific flow with
+reference-script parity lives in train_mvn_ctf_rl.py).
+
+Usage:
+  python scripts/train.py --family wildfire --iters 200 --envs 512
+  python scripts/train.py --family collect --cpu --iters 50 --envs 64
+
+The learner is the same fully jitted minibatched PPO; metrics stream to
+<out>/logs (CSV + TensorBoard) and the full training state checkpoints
+to <out>/models/<family>_ppo.npz for bit-exact resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAMILY_SPECS = {
+    # family: (num_actions, agents_fn(cfg))
+    "collect": (4, lambda cfg: cfg.num_agents),
+    "ctf": (5, lambda cfg: cfg.num_blue_agents),
+    "maze": (5, lambda cfg: 1),
+    "wildfire": (5, lambda cfg: cfg.num_agents),
+}
+
+
+def build(family: str, num_envs: int, use_pallas: bool, **kwargs):
+    """(BatchedEnv, cfg, num_actions, policy_agents) for a family."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from gym_multigrid_tpu.parallel import vector as pv
+
+    if family == "collect":
+        from gym_multigrid_tpu.envs.collect import CollectConfig
+
+        cfg = CollectConfig(
+            layout="quadrants_respawn", respawn=True, max_steps=50
+        )
+        env = pv.make_collect_batch(cfg, num_envs, use_pallas=use_pallas)
+    elif family == "ctf":
+        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+
+        cfg = CtfConfig.from_map_path(
+            os.path.join(root, "tests/assets/board.txt"),
+            num_blue_agents=2,
+            num_red_agents=2,
+            variant="mvn",
+            enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
+            observation_option="flattened",
+        )
+        env = pv.make_ctf_batch(cfg, num_envs, use_pallas=use_pallas)
+    elif family == "maze":
+        from gym_multigrid_tpu.envs.maze import MazeConfig
+
+        cfg = MazeConfig.from_map_path(
+            os.path.join(root, "tests/assets/board_maze.txt"), max_steps=100
+        )
+        env = pv.make_maze_batch(cfg, num_envs, use_pallas=use_pallas)
+    elif family == "wildfire":
+        from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+
+        # With the spec defaults (ext_reward 1.0 > burn_penalty 0.1) an
+        # extinguished ignition nets +0.9, so "farm the fire" beats
+        # containment; burn_penalty >= ext_reward makes every ignition a
+        # net loss and fire-fighting the optimum (see artifacts/README.md).
+        cfg = WildfireConfig(
+            size=kwargs.get("wf_size", 16),
+            num_initial_fires=kwargs.get("wf_fires", 2),
+            p_spread=kwargs.get("wf_spread", 0.3),
+            max_steps=kwargs.get("wf_max_steps", 100),
+            burn_penalty=kwargs.get("burn_penalty", 1.0),
+        )
+        env = pv.make_wildfire_batch(cfg, num_envs, use_pallas=use_pallas)
+    else:
+        raise ValueError(family)
+    num_actions, agents_fn = FAMILY_SPECS[family]
+    return env, cfg, num_actions, agents_fn(cfg)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", default="wildfire", choices=list(FAMILY_SPECS))
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--envs", type=int, default=512)
+    p.add_argument("--rollout-len", type=int, default=32)
+    p.add_argument("--minibatches", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--out", default="out")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument(
+        "--burn-penalty",
+        type=float,
+        default=1.0,
+        help="wildfire only: per-ignition penalty (>= ext_reward keeps "
+        "containment optimal)",
+    )
+    p.add_argument("--wf-size", type=int, default=16)
+    p.add_argument("--wf-fires", type=int, default=2)
+    p.add_argument("--wf-spread", type=float, default=0.3)
+    p.add_argument("--wf-max-steps", type=int, default=100)
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gym_multigrid_tpu.rl.networks import ActorCritic
+    from gym_multigrid_tpu.rl.ppo import PPOConfig, RolloutCarry, make_ppo
+    from gym_multigrid_tpu.utils.checkpoint import load_pytree, save_pytree
+    from gym_multigrid_tpu.utils.logging import MetricsLogger
+
+    env, cfg, num_actions, policy_agents = build(
+        args.family,
+        args.envs,
+        args.pallas,
+        burn_penalty=args.burn_penalty,
+        wf_size=args.wf_size,
+        wf_fires=args.wf_fires,
+        wf_spread=args.wf_spread,
+        wf_max_steps=args.wf_max_steps,
+    )
+    net = ActorCritic(num_actions=num_actions, num_agents=policy_agents)
+    ppo_cfg = PPOConfig(
+        rollout_len=args.rollout_len,
+        num_epochs=args.epochs,
+        num_minibatches=args.minibatches,
+        lr=args.lr,
+        ent_coef=args.ent_coef,
+    )
+    init_fn, train_step = make_ppo(env, net, ppo_cfg)
+    params, opt_state, states = init_fn(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    model_path = os.path.join(args.out, "models", f"{args.family}_ppo")
+    if os.path.exists(model_path + ".npz"):
+        ckpt = load_pytree(model_path)
+        if isinstance(ckpt, dict) and "states" in ckpt:
+            params, opt_state, states, key = (
+                ckpt["params"], ckpt["opt_state"], ckpt["states"], ckpt["key"]
+            )
+            if not isinstance(states, RolloutCarry):
+                import jax.numpy as jnp
+
+                states = RolloutCarry(
+                    env=states,
+                    run_return=jnp.zeros((args.envs,), jnp.float32),
+                )
+            print(f"resumed full state from {model_path}.npz")
+
+    logger = MetricsLogger(
+        os.path.join(args.out, "logs", args.family),
+        use_tensorboard=not args.no_tensorboard,
+    )
+    it0 = logger.last_step + 1
+    step = jax.jit(train_step, donate_argnums=(1, 2))
+    steps_per_iter = args.envs * args.rollout_len
+    t0 = time.perf_counter()
+    for it in range(it0, it0 + args.iters):
+        params, opt_state, states, key, metrics = step(
+            params, opt_state, states, key
+        )
+        jax.block_until_ready(metrics["loss"])
+        sps = steps_per_iter * (it - it0 + 1) / (time.perf_counter() - t0)
+        logger.log(
+            it,
+            {
+                k: metrics[k]
+                for k in (
+                    "loss", "pg_loss", "v_loss", "entropy",
+                    "reward_per_step", "ep_return_mean", "episodes",
+                    "approx_kl", "clip_fraction", "explained_variance",
+                )
+            }
+            | {"env_steps_per_sec": sps},
+        )
+        if it % 10 == 0 or it == it0 + args.iters - 1:
+            print(
+                f"[{args.family}] iter {it:4d}  "
+                f"loss {float(metrics['loss']):+.4f}  "
+                f"ep_return {float(metrics['ep_return_mean']):+.3f}  "
+                f"entropy {float(metrics['entropy']):.3f}  "
+                f"env-steps/s {sps:,.0f}"
+            )
+    logger.close()
+    save_pytree(
+        model_path,
+        {"params": params, "opt_state": opt_state, "states": states, "key": key},
+    )
+    print(f"saved full training state to {model_path}.npz")
+
+
+if __name__ == "__main__":
+    main()
