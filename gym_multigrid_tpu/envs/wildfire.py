@@ -23,6 +23,16 @@ are fixed here:
 * Obs: full-grid (W, H, 3) uint8 in the family encode convention
   (type, color, agent-dir), like Collect.
 
+Reward-design note for RL: with the spec defaults an extinguished
+ignition nets ext_reward - burn_penalty = +0.9, so a reward-maximizing
+team prefers letting the fire spread and farming extinguish bounties
+over containment (observed empirically: PPO drives episode return DOWN
+under the defaults).  Set burn_penalty >= ext_reward (scripts/train.py
+defaults to 1.0) to make every ignition a net loss and fire-fighting the
+optimum; on larger boards also mind controllability — at p_spread 0.3 on
+16x16 the fire perimeter outruns two agents and returns carry no
+learnable signal.
+
 TPU mapping.  The transition is written once, as batched (B, cells) math
 (:func:`wf_step_math` / :func:`wf_reset_math`) shared verbatim by three
 consumers: the per-env functional core below (B=1 rows), the direct XLA
