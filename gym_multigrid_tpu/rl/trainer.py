@@ -1,0 +1,141 @@
+"""Shared PPO training loop: resume, metric logging, checkpointing.
+
+Both training scripts (scripts/train.py, scripts/train_mvn_ctf_rl.py)
+drive this one loop so resume/logging semantics cannot drift:
+
+* Full-state resume (params + Adam moments + env states + RNG key) when
+  the snapshot's env batch matches; params-only degradation when it
+  doesn't; legacy snapshots (params-only dicts, raw pre-RolloutCarry env
+  states) handled explicitly.
+* The metrics step axis is coupled to the model resume: a resumed model
+  continues the existing CSV/TensorBoard axis; a fresh model rotates any
+  stale metrics file aside so curves never interleave two runs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gym_multigrid_tpu.rl.ppo import PPOConfig, RolloutCarry, make_ppo
+from gym_multigrid_tpu.utils.checkpoint import load_pytree, save_pytree
+from gym_multigrid_tpu.utils.logging import MetricsLogger
+
+LOG_KEYS = (
+    "loss", "pg_loss", "v_loss", "entropy", "reward_per_step",
+    "ep_return_mean", "episodes", "approx_kl", "clip_fraction",
+    "explained_variance",
+)
+
+
+def _batch_of(tree) -> int:
+    return jax.tree_util.tree_leaves(tree)[0].shape[0]
+
+
+def _rotate_stale(path: str) -> None:
+    """Move an existing file aside as <path>.oldN (never clobber)."""
+    if not (os.path.exists(path) and os.path.getsize(path)):
+        return
+    n = 1
+    while os.path.exists(f"{path}.old{n}"):
+        n += 1
+    os.rename(path, f"{path}.old{n}")
+
+
+def resume_or_init(init_fn, model_path: str, num_envs: int):
+    """(params, opt_state, states, key, resumed: bool) from a snapshot or
+    fresh init.  Handles every historical snapshot layout."""
+    params, opt_state, states, key = *init_fn(jax.random.PRNGKey(0)), jax.random.PRNGKey(1)
+    if not os.path.exists(model_path + ".npz"):
+        return params, opt_state, states, key, False
+
+    ckpt = load_pytree(model_path)
+    if isinstance(ckpt, dict) and "states" in ckpt:
+        ck_states = ckpt["states"]
+        raw = not isinstance(ck_states, RolloutCarry)
+        ck_env = ck_states if raw else ck_states.env
+        if _batch_of(ck_env) == num_envs:
+            if raw:
+                # pre-RolloutCarry snapshot: wrap, returns restart at 0
+                ck_states = RolloutCarry(
+                    env=ck_env,
+                    run_return=jnp.zeros((num_envs,), jnp.float32),
+                )
+            print(f"resumed full state from {model_path}.npz")
+            return ckpt["params"], ckpt["opt_state"], ck_states, ckpt["key"], True
+        print(
+            f"resumed params only from {model_path}.npz "
+            f"(env batch {_batch_of(ck_env)} != {num_envs})"
+        )
+        return ckpt["params"], opt_state, states, key, True
+    # params-only snapshot (a flax params dict IS a dict with a 'params'
+    # key, so anything without 'states' is treated as bare params)
+    print(f"resumed params only from legacy {model_path}.npz")
+    return ckpt, opt_state, states, key, True
+
+
+def train_loop(
+    env,
+    net,
+    ppo_cfg: PPOConfig,
+    *,
+    iters: int,
+    out: str,
+    model_name: str,
+    log_subdir: str = "",
+    use_tensorboard: bool = True,
+    label: str = "",
+    extra_metrics: Callable[[dict], dict] | None = None,
+):
+    """Run `iters` PPO iterations with resume + logging; returns
+    (params, opt_state, states, key, last_metrics)."""
+    init_fn, train_step = make_ppo(env, net, ppo_cfg)
+    model_path = os.path.join(out, "models", model_name)
+    params, opt_state, states, key, resumed = resume_or_init(
+        init_fn, model_path, env.num_envs
+    )
+
+    logdir = os.path.join(out, "logs", log_subdir) if log_subdir else os.path.join(out, "logs")
+    if not resumed:
+        # fresh model: never append to a stale curve
+        _rotate_stale(os.path.join(logdir, "metrics.csv"))
+    logger = MetricsLogger(logdir, use_tensorboard=use_tensorboard)
+    it0 = logger.last_step + 1 if resumed else 0
+
+    step = jax.jit(train_step, donate_argnums=(1, 2))
+    steps_per_iter = env.num_envs * ppo_cfg.rollout_len
+    t0 = time.perf_counter()
+    metrics = {}
+    for it in range(it0, it0 + iters):
+        params, opt_state, states, key, metrics = step(
+            params, opt_state, states, key
+        )
+        jax.block_until_ready(metrics["loss"])
+        sps = steps_per_iter * (it - it0 + 1) / (time.perf_counter() - t0)
+        row = {k: metrics[k] for k in LOG_KEYS}
+        row["env_steps_per_sec"] = sps
+        if extra_metrics is not None:
+            row.update(extra_metrics(metrics))
+        logger.log(it, row)
+        if it % 10 == 0 or it == it0 + iters - 1:
+            tag = f"[{label}] " if label else ""
+            print(
+                f"{tag}iter {it:4d}  loss {float(metrics['loss']):+.4f}  "
+                f"reward/step {float(metrics['reward_per_step']):+.4f}  "
+                f"ep_return {float(metrics['ep_return_mean']):+.3f}  "
+                f"entropy {float(metrics['entropy']):.3f}  "
+                f"env-steps/s {sps:,.0f}"
+            )
+    logger.close()
+    tb = " + tensorboard)" if logger.has_tensorboard else ")"
+    print(f"metrics logged to {logger.logdir} (csv{tb}")
+    save_pytree(
+        model_path,
+        {"params": params, "opt_state": opt_state, "states": states, "key": key},
+    )
+    print(f"saved full training state to {model_path}.npz")
+    return params, opt_state, states, key, metrics

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import jax
 
@@ -103,18 +102,20 @@ def main() -> None:
         help="wildfire only: per-ignition penalty (>= ext_reward keeps "
         "containment optimal)",
     )
-    p.add_argument("--wf-size", type=int, default=16)
-    p.add_argument("--wf-fires", type=int, default=2)
-    p.add_argument("--wf-spread", type=float, default=0.3)
-    p.add_argument("--wf-max-steps", type=int, default=100)
+    # wildfire defaults are the CONTROLLABLE config (the committed
+    # learning artifact): at spread 0.3 on 16x16 the fire outruns two
+    # agents and training goes nowhere (envs/wildfire.py design note).
+    p.add_argument("--wf-size", type=int, default=8)
+    p.add_argument("--wf-fires", type=int, default=1)
+    p.add_argument("--wf-spread", type=float, default=0.15)
+    p.add_argument("--wf-max-steps", type=int, default=50)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from gym_multigrid_tpu.rl.networks import ActorCritic
-    from gym_multigrid_tpu.rl.ppo import PPOConfig, RolloutCarry, make_ppo
-    from gym_multigrid_tpu.utils.checkpoint import load_pytree, save_pytree
-    from gym_multigrid_tpu.utils.logging import MetricsLogger
+    from gym_multigrid_tpu.rl.ppo import PPOConfig
+    from gym_multigrid_tpu.rl.trainer import train_loop
 
     env, cfg, num_actions, policy_agents = build(
         args.family,
@@ -134,66 +135,17 @@ def main() -> None:
         lr=args.lr,
         ent_coef=args.ent_coef,
     )
-    init_fn, train_step = make_ppo(env, net, ppo_cfg)
-    params, opt_state, states = init_fn(jax.random.PRNGKey(0))
-    key = jax.random.PRNGKey(1)
-
-    model_path = os.path.join(args.out, "models", f"{args.family}_ppo")
-    if os.path.exists(model_path + ".npz"):
-        ckpt = load_pytree(model_path)
-        if isinstance(ckpt, dict) and "states" in ckpt:
-            params, opt_state, states, key = (
-                ckpt["params"], ckpt["opt_state"], ckpt["states"], ckpt["key"]
-            )
-            if not isinstance(states, RolloutCarry):
-                import jax.numpy as jnp
-
-                states = RolloutCarry(
-                    env=states,
-                    run_return=jnp.zeros((args.envs,), jnp.float32),
-                )
-            print(f"resumed full state from {model_path}.npz")
-
-    logger = MetricsLogger(
-        os.path.join(args.out, "logs", args.family),
+    train_loop(
+        env,
+        net,
+        ppo_cfg,
+        iters=args.iters,
+        out=args.out,
+        model_name=f"{args.family}_ppo",
+        log_subdir=args.family,
         use_tensorboard=not args.no_tensorboard,
+        label=args.family,
     )
-    it0 = logger.last_step + 1
-    step = jax.jit(train_step, donate_argnums=(1, 2))
-    steps_per_iter = args.envs * args.rollout_len
-    t0 = time.perf_counter()
-    for it in range(it0, it0 + args.iters):
-        params, opt_state, states, key, metrics = step(
-            params, opt_state, states, key
-        )
-        jax.block_until_ready(metrics["loss"])
-        sps = steps_per_iter * (it - it0 + 1) / (time.perf_counter() - t0)
-        logger.log(
-            it,
-            {
-                k: metrics[k]
-                for k in (
-                    "loss", "pg_loss", "v_loss", "entropy",
-                    "reward_per_step", "ep_return_mean", "episodes",
-                    "approx_kl", "clip_fraction", "explained_variance",
-                )
-            }
-            | {"env_steps_per_sec": sps},
-        )
-        if it % 10 == 0 or it == it0 + args.iters - 1:
-            print(
-                f"[{args.family}] iter {it:4d}  "
-                f"loss {float(metrics['loss']):+.4f}  "
-                f"ep_return {float(metrics['ep_return_mean']):+.3f}  "
-                f"entropy {float(metrics['entropy']):.3f}  "
-                f"env-steps/s {sps:,.0f}"
-            )
-    logger.close()
-    save_pytree(
-        model_path,
-        {"params": params, "opt_state": opt_state, "states": states, "key": key},
-    )
-    print(f"saved full training state to {model_path}.npz")
 
 
 if __name__ == "__main__":

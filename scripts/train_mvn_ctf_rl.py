@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import jax
 import numpy as np
@@ -63,8 +62,8 @@ def main() -> None:
     from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
     from gym_multigrid_tpu.parallel.vector import make_ctf_batch
     from gym_multigrid_tpu.rl.networks import ActorCritic
-    from gym_multigrid_tpu.rl.ppo import PPOConfig, make_ppo
-    from gym_multigrid_tpu.utils.checkpoint import load_pytree, save_pytree
+    from gym_multigrid_tpu.rl.ppo import PPOConfig
+    from gym_multigrid_tpu.rl.trainer import train_loop
 
     opponents = tuple(PolicySpec(k) for k in args.opponents.split(","))
     cfg = CtfConfig.from_map_path(
@@ -86,107 +85,18 @@ def main() -> None:
         lr=args.lr,
         ent_coef=args.ent_coef,
     )
-    init_fn, train_step = make_ppo(env, net, ppo_cfg)
-
-    params, opt_state, states = init_fn(jax.random.PRNGKey(0))
-    key = jax.random.PRNGKey(1)
-    model_path = os.path.join(args.out, "models", "ctf_ppo")
-    if os.path.exists(model_path + ".npz"):
-        # Full-tuple resume: params + Adam moments + env states + RNG key
-        # snapshot together (utils/checkpoint.py), so a resumed run
-        # continues bit-exactly.  A legacy params-only .npz (or a snapshot
-        # taken at a different --envs) degrades to params-only.
-        ckpt = load_pytree(model_path)
-        # A legacy params-only snapshot is itself a dict with a top-level
-        # 'params' key (flax), so detect the full tuple by 'states'.
-        if isinstance(ckpt, dict) and "states" in ckpt:
-            params = ckpt["params"]
-            same_batch = jax.tree_util.tree_leaves(ckpt["states"])[0].shape[
-                0
-            ] == jax.tree_util.tree_leaves(states)[0].shape[0]
-            if same_batch:
-                opt_state, states, key = (
-                    ckpt["opt_state"],
-                    ckpt["states"],
-                    ckpt["key"],
-                )
-                # Snapshots from before the RolloutCarry wrapper hold raw
-                # env states; wrap them (running returns restart at 0).
-                from gym_multigrid_tpu.rl.ppo import RolloutCarry
-
-                if not isinstance(states, RolloutCarry):
-                    import jax.numpy as jnp
-
-                    states = RolloutCarry(
-                        env=states,
-                        run_return=jnp.zeros((args.envs,), jnp.float32),
-                    )
-                print(f"resumed full state from {model_path}.npz")
-            else:
-                print(
-                    f"resumed params only from {model_path}.npz "
-                    "(env batch size changed)"
-                )
-        else:
-            params = ckpt
-            print(f"resumed params only from legacy {model_path}.npz")
-
-    # Persistent metrics: CSV always + TensorBoard events (reference
-    # wires tensorboard_log via SB3, scripts/main_mvn_ctf_rl.py:31).
-    from gym_multigrid_tpu.utils.logging import MetricsLogger
-
-    logger = MetricsLogger(
-        os.path.join(args.out, "logs"),
+    # Shared loop: full-state resume (with batch guard + legacy layouts),
+    # CSV + TensorBoard metrics with a step axis coupled to the resume
+    # (reference wires tensorboard_log via SB3, main_mvn_ctf_rl.py:31).
+    params, opt_state, states, key, metrics = train_loop(
+        env,
+        net,
+        ppo_cfg,
+        iters=args.iters,
+        out=args.out,
+        model_name="ctf_ppo",
         use_tensorboard=not args.no_tensorboard,
     )
-    # Resumed runs continue the step axis where the previous run stopped
-    # (appending step 0.. again would interleave two runs in the CSV/TB).
-    it0 = logger.last_step + 1
-
-    step = jax.jit(train_step, donate_argnums=(1, 2))
-    env_steps_per_iter = args.envs * args.rollout_len
-    t0 = time.perf_counter()
-    for it in range(it0, it0 + args.iters):
-        params, opt_state, states, key, metrics = step(
-            params, opt_state, states, key
-        )
-        jax.block_until_ready(metrics["loss"])
-        dt = time.perf_counter() - t0
-        sps = env_steps_per_iter * (it - it0 + 1) / dt
-        logger.log(
-            it,
-            {
-                "loss": metrics["loss"],
-                "pg_loss": metrics["pg_loss"],
-                "v_loss": metrics["v_loss"],
-                "entropy": metrics["entropy"],
-                "reward_per_step": metrics["reward_per_step"],
-                "ep_return_mean": metrics["ep_return_mean"],
-                "episodes": metrics["episodes"],
-                "approx_kl": metrics["approx_kl"],
-                "clip_fraction": metrics["clip_fraction"],
-                "explained_variance": metrics["explained_variance"],
-                "env_steps_per_sec": sps,
-            },
-        )
-        if it % 10 == 0 or it == args.iters - 1:
-            print(
-                f"iter {it:4d}  loss {float(metrics['loss']):+.4f}  "
-                f"reward/step {float(metrics['reward_per_step']):+.4f}  "
-                f"ep_return {float(metrics['ep_return_mean']):+.3f}  "
-                f"entropy {float(metrics['entropy']):.3f}  "
-                f"env-steps/s {sps:,.0f}"
-            )
-    logger.close()
-    print(f"metrics logged to {logger.logdir} (csv" + (
-        " + tensorboard)" if logger.has_tensorboard else ")"
-    ))
-
-    save_pytree(
-        model_path,
-        {"params": params, "opt_state": opt_state, "states": states, "key": key},
-    )
-    print(f"saved full training state to {model_path}.npz")
 
     # Greedy rollout gif through the reference-compatible adapter.
     from gym_multigrid_tpu.envs import CtFMvNEnv

@@ -82,10 +82,17 @@ def test_ppo_learns_ctf_mvn():
     assert late > early + 0.3, (early, late)
 
 
-def test_training_curve_artifact_shows_learning():
-    """The committed TPU training run's learning curve must show the CtF
-    learner beating its starting (random-policy) episode return."""
-    path = "artifacts/ctf_train/logs/metrics.csv"
+@pytest.mark.parametrize(
+    "path,margin",
+    [
+        ("artifacts/ctf_train/logs/metrics.csv", 0.3),
+        ("artifacts/ctf_train_phase2/logs/metrics.csv", 0.15),
+        ("artifacts/wildfire_train/logs/wildfire/metrics.csv", 1.0),
+    ],
+)
+def test_training_curve_artifact_shows_learning(path, margin):
+    """Every committed TPU training run's curve must show the learner
+    beating its starting episode return by a clear margin."""
     if not os.path.exists(path):
         pytest.skip("training artifact not yet generated")
     from gym_multigrid_tpu.utils.logging import read_metrics_csv
@@ -96,7 +103,7 @@ def test_training_curve_artifact_shows_learning():
         pytest.skip("training artifact incomplete (run in progress?)")
     early = np.mean(ep[1:10])
     late = np.mean(ep[-len(ep) // 4 :])
-    assert late > early + 0.3, (early, late)
+    assert late > early + margin, (early, late)
 
 
 def test_metrics_logger_roundtrip(tmp_path):
@@ -139,3 +146,61 @@ def test_metrics_logger_resume_continues_step_axis(tmp_path):
     assert m["step"] == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert m["a"] == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert "new_key" not in m
+
+
+def test_train_loop_resume_semantics(tmp_path):
+    """The shared trainer couples model resume to the metrics step axis,
+    guards batch-size mismatches, and wraps legacy snapshots."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_multigrid_tpu.rl.ppo import RolloutCarry
+    from gym_multigrid_tpu.rl.trainer import resume_or_init, train_loop
+    from gym_multigrid_tpu.utils.checkpoint import save_pytree
+    from gym_multigrid_tpu.utils.logging import read_metrics_csv
+
+    cfg = CollectConfig(layout="quadrants", max_steps=10)
+    env = make_collect_batch(cfg, 8)
+    net = ActorCritic(num_actions=4, num_agents=2, hidden=(16, 16))
+    ppo_cfg = PPOConfig(rollout_len=4, num_minibatches=1)
+
+    out = str(tmp_path)
+    train_loop(env, net, ppo_cfg, iters=2, out=out, model_name="m",
+               use_tensorboard=False)
+    # resumed run continues the step axis
+    train_loop(env, net, ppo_cfg, iters=2, out=out, model_name="m",
+               use_tensorboard=False)
+    m = read_metrics_csv(os.path.join(out, "logs", "metrics.csv"))
+    assert m["step"] == [0.0, 1.0, 2.0, 3.0]
+
+    # batch-size mismatch degrades to params-only (fresh env states)
+    from gym_multigrid_tpu.rl.ppo import make_ppo
+
+    env16 = make_collect_batch(cfg, 16)
+    init16, _ = make_ppo(env16, net, ppo_cfg)
+    p, o, s, k, resumed = resume_or_init(
+        init16, os.path.join(out, "models", "m"), 16
+    )
+    assert resumed
+    assert jax.tree_util.tree_leaves(s.env)[0].shape[0] == 16  # fresh
+
+    # legacy raw env-states snapshot wraps into RolloutCarry
+    init8, _ = make_ppo(env, net, ppo_cfg)
+    p8, o8, s8 = init8(jax.random.PRNGKey(0))
+    save_pytree(
+        os.path.join(out, "models", "legacy"),
+        {"params": p8, "opt_state": o8, "states": s8.env,
+         "key": jax.random.PRNGKey(2)},
+    )
+    _, _, s_l, _, resumed = resume_or_init(
+        init8, os.path.join(out, "models", "legacy"), 8
+    )
+    assert resumed and isinstance(s_l, RolloutCarry)
+
+    # fresh model + stale logs: the old CSV rotates aside
+    os.remove(os.path.join(out, "models", "m.npz"))
+    train_loop(env, net, ppo_cfg, iters=1, out=out, model_name="m",
+               use_tensorboard=False)
+    m2 = read_metrics_csv(os.path.join(out, "logs", "metrics.csv"))
+    assert m2["step"] == [0.0]
+    assert os.path.exists(os.path.join(out, "logs", "metrics.csv.old1"))
