@@ -815,11 +815,13 @@ def ctf_reset_inputs(cfg):
     )
 
 
-def make_ctf_episode_rollout(cfg, chunk: int = 10, interpret=None):
+def make_ctf_episode_rollout(cfg, chunk: int = 25, interpret=None):
     """rollout(states, key, num_steps) -> (states', metrics) on the fused
     multi-step kernel with in-kernel per-env auto-reset and uniform-random
     blue actions; metrics match BatchedEnv.rollout (reward_sum, episodes,
-    ep_return_sum, run_return)."""
+    ep_return_sum, run_return).  chunk=25 measured fastest on v5e (57.7M
+    agent-steps/s @ 8192 vs 54.0M at 10); the CtF per-step rnd stream is
+    tiny so VMEM allows deep unrolls."""
     from gym_multigrid_tpu.envs.ctf import CtfState
 
     if cfg.num_agents > 8 or any(
