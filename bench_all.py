@@ -175,7 +175,7 @@ def main(argv=None):
         has_kernel = on_tpu and kernels_available(family)
         if family in ("wildfire", "ctf") and on_tpu:
             # The slab-math XLA paths measure faster than the fused
-            # kernels here (wildfire 62.7M vs 33.5M, CtF 106.1M vs 57.7M
+            # kernels here (wildfire 62.7M vs 32.9M, CtF 106.1M vs 57.7M
             # agent-steps/s on v5e @ 8192) — XLA is the headline path; the
             # compiler pipelines the pre-drawn uniform stream better than
             # the VMEM-resident kernels.

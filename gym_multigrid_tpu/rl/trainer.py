@@ -36,46 +36,59 @@ def _batch_of(tree) -> int:
     return jax.tree_util.tree_leaves(tree)[0].shape[0]
 
 
-def _rotate_stale(path: str) -> None:
-    """Move an existing file aside as <path>.oldN (never clobber)."""
-    if not (os.path.exists(path) and os.path.getsize(path)):
+def _rotate_stale_logs(logdir: str) -> None:
+    """Move a non-empty log DIRECTORY aside as <logdir>.oldN — the whole
+    thing, because TensorBoard aggregates every event file in a dir as
+    one run, so leaving stale event files behind would interleave curves
+    just like appending to the CSV would."""
+    if not (os.path.isdir(logdir) and os.listdir(logdir)):
         return
     n = 1
-    while os.path.exists(f"{path}.old{n}"):
+    while os.path.exists(f"{logdir}.old{n}"):
         n += 1
-    os.rename(path, f"{path}.old{n}")
+    os.rename(logdir, f"{logdir}.old{n}")
 
 
 def resume_or_init(init_fn, model_path: str, num_envs: int):
     """(params, opt_state, states, key, resumed: bool) from a snapshot or
-    fresh init.  Handles every historical snapshot layout."""
-    params, opt_state, states, key = *init_fn(jax.random.PRNGKey(0)), jax.random.PRNGKey(1)
-    if not os.path.exists(model_path + ".npz"):
-        return params, opt_state, states, key, False
-
-    ckpt = load_pytree(model_path)
-    if isinstance(ckpt, dict) and "states" in ckpt:
-        ck_states = ckpt["states"]
-        raw = not isinstance(ck_states, RolloutCarry)
-        ck_env = ck_states if raw else ck_states.env
-        if _batch_of(ck_env) == num_envs:
-            if raw:
-                # pre-RolloutCarry snapshot: wrap, returns restart at 0
-                ck_states = RolloutCarry(
-                    env=ck_env,
-                    run_return=jnp.zeros((num_envs,), jnp.float32),
+    fresh init.  Handles every historical snapshot layout.  The fresh
+    init (a whole-batch env reset + net/optimizer init) only runs when
+    the snapshot cannot supply the corresponding pieces — on the slow
+    remote-compile backend that startup work is worth skipping."""
+    ckpt = None
+    if os.path.exists(model_path + ".npz"):
+        ckpt = load_pytree(model_path)
+        if isinstance(ckpt, dict) and "states" in ckpt:
+            ck_states = ckpt["states"]
+            raw = not isinstance(ck_states, RolloutCarry)
+            ck_env = ck_states if raw else ck_states.env
+            if _batch_of(ck_env) == num_envs:
+                if raw:
+                    # pre-RolloutCarry snapshot: wrap, returns restart at 0
+                    ck_states = RolloutCarry(
+                        env=ck_env,
+                        run_return=jnp.zeros((num_envs,), jnp.float32),
+                    )
+                print(f"resumed full state from {model_path}.npz")
+                return (
+                    ckpt["params"], ckpt["opt_state"], ck_states,
+                    ckpt["key"], True,
                 )
-            print(f"resumed full state from {model_path}.npz")
-            return ckpt["params"], ckpt["opt_state"], ck_states, ckpt["key"], True
-        print(
-            f"resumed params only from {model_path}.npz "
-            f"(env batch {_batch_of(ck_env)} != {num_envs})"
-        )
-        return ckpt["params"], opt_state, states, key, True
-    # params-only snapshot (a flax params dict IS a dict with a 'params'
-    # key, so anything without 'states' is treated as bare params)
-    print(f"resumed params only from legacy {model_path}.npz")
-    return ckpt, opt_state, states, key, True
+            print(
+                f"resumed params only from {model_path}.npz "
+                f"(env batch {_batch_of(ck_env)} != {num_envs})"
+            )
+            ckpt = ckpt["params"]
+        else:
+            # params-only snapshot (a flax params dict IS a dict with a
+            # 'params' key, so anything without 'states' is bare params)
+            print(f"resumed params only from legacy {model_path}.npz")
+
+    params, opt_state, states = init_fn(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    if ckpt is not None:
+        return ckpt, opt_state, states, key, True
+    return params, opt_state, states, key, False
 
 
 def train_loop(
@@ -101,8 +114,8 @@ def train_loop(
 
     logdir = os.path.join(out, "logs", log_subdir) if log_subdir else os.path.join(out, "logs")
     if not resumed:
-        # fresh model: never append to a stale curve
-        _rotate_stale(os.path.join(logdir, "metrics.csv"))
+        # fresh model: never append to a stale curve (CSV or TB events)
+        _rotate_stale_logs(logdir)
     logger = MetricsLogger(logdir, use_tensorboard=use_tensorboard)
     it0 = logger.last_step + 1 if resumed else 0
 

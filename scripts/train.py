@@ -68,10 +68,10 @@ def build(family: str, num_envs: int, use_pallas: bool, **kwargs):
         # containment; burn_penalty >= ext_reward makes every ignition a
         # net loss and fire-fighting the optimum (see artifacts/README.md).
         cfg = WildfireConfig(
-            size=kwargs.get("wf_size", 16),
-            num_initial_fires=kwargs.get("wf_fires", 2),
-            p_spread=kwargs.get("wf_spread", 0.3),
-            max_steps=kwargs.get("wf_max_steps", 100),
+            size=kwargs.get("wf_size", 8),
+            num_initial_fires=kwargs.get("wf_fires", 1),
+            p_spread=kwargs.get("wf_spread", 0.15),
+            max_steps=kwargs.get("wf_max_steps", 50),
             burn_penalty=kwargs.get("burn_penalty", 1.0),
         )
         env = pv.make_wildfire_batch(cfg, num_envs, use_pallas=use_pallas)

@@ -197,10 +197,11 @@ def test_train_loop_resume_semantics(tmp_path):
     )
     assert resumed and isinstance(s_l, RolloutCarry)
 
-    # fresh model + stale logs: the old CSV rotates aside
+    # fresh model + stale logs: the whole log dir rotates aside (CSV and
+    # any TB event files together, so curves never interleave two runs)
     os.remove(os.path.join(out, "models", "m.npz"))
     train_loop(env, net, ppo_cfg, iters=1, out=out, model_name="m",
                use_tensorboard=False)
     m2 = read_metrics_csv(os.path.join(out, "logs", "metrics.csv"))
     assert m2["step"] == [0.0]
-    assert os.path.exists(os.path.join(out, "logs", "metrics.csv.old1"))
+    assert os.path.exists(os.path.join(out, "logs.old1", "metrics.csv"))
