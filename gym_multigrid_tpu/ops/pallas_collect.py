@@ -540,9 +540,10 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     # Mosaic's scoped-VMEM stack grows with the unrolled step count; at
-    # MS_BLK=128 chunks up to ~25 fit, 10 measured fastest (75.9M
-    # agent-steps/s vs 74.3M at 25 on v5e).
-    chunk = chunk or 10
+    # MS_BLK=128 chunks up to ~25 fit.  Interleaved sweeps on the real chip
+    # put 15 consistently ahead of 10/20/25 (98.0-98.4M vs 96.0-97.7M
+    # agent-steps/s at batch 8192).
+    chunk = chunk or 15
     reset_batch = make_collect_reset_batch(cfg, interpret)
     from gym_multigrid_tpu.envs.collect import build_plan, reward_slot_tables
 
