@@ -109,3 +109,19 @@ def test_profiling_utils(tmp_path):
     # 1000 batched steps/s * 2 * 8.19MB = 16.38GB/s of 819GB/s = 2%
     assert est.sol_fraction == pytest.approx(0.02, rel=0.01)
     assert state_nbytes({"a": np.zeros((2, 3), np.float32)}) == 24
+
+
+def test_window_headless_and_import_path():
+    """Window (reference utils/window.py:15-93) draws headlessly via Agg,
+    and the reference import path gym_multigrid_tpu.utils.window works."""
+    from gym_multigrid_tpu.render.window import Window
+    from gym_multigrid_tpu.utils.window import Window as WindowShim
+
+    assert WindowShim is Window
+    w = Window("test")
+    w.show_img(np.zeros((4, 4, 3), np.uint8))
+    w.show_img(np.full((4, 4, 3), 255, np.uint8))  # reuses the imshow obj
+    w.set_caption("caption")
+    w.reg_key_handler(lambda evt: None)
+    w.show(block=True)  # no-op on Agg: must not block
+    w.close()
