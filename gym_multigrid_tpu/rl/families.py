@@ -1,0 +1,107 @@
+"""Family registry for the RL stack: one place that knows how to build a
+BatchedEnv + its action space for every env family.
+
+Both the generic training CLI (scripts/train.py) and the evaluation CLI
+(scripts/evaluate.py) drive this builder so the configs they construct can
+never drift apart — evaluating a checkpoint against a *different* env than
+it was trained on is the classic silent RL bug.
+
+The reference has no equivalent layer (its one training script hardcodes
+one CtF env, reference scripts/main_mvn_ctf_rl.py:15-21); this is the
+TPU-native generalization to all four families.
+"""
+
+from __future__ import annotations
+
+import os
+
+FAMILIES = ("collect", "ctf", "maze", "wildfire")
+
+# family -> (num_actions, policy_agents_fn(cfg))
+_FAMILY_SPECS = {
+    "collect": (4, lambda cfg: cfg.num_agents),
+    "ctf": (5, lambda cfg: cfg.num_blue_agents),
+    "maze": (5, lambda cfg: 1),
+    "wildfire": (5, lambda cfg: cfg.num_agents),
+}
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def make_family_batch(
+    family: str,
+    num_envs: int,
+    use_pallas: bool = False,
+    *,
+    # ctf knobs
+    map_path: str | None = None,
+    opponents: tuple[str, ...] = ("rw", "rw"),
+    # wildfire knobs
+    wf_size: int = 8,
+    wf_fires: int = 1,
+    wf_spread: float = 0.15,
+    wf_max_steps: int = 50,
+    burn_penalty: float = 1.0,
+):
+    """(BatchedEnv, cfg, num_actions, policy_agents) for a family.
+
+    Defaults are the committed learning-artifact configs (artifacts/):
+    CtF 2-blue on tests/assets/board.txt with flattened obs, the
+    CONTROLLABLE wildfire (8x8, 1 fire, spread 0.15 — at spread 0.3 on
+    16x16 the fire outruns two agents and training goes nowhere), the
+    quadrants-respawn Collect and the 13x13 Maze board.
+    """
+    from gym_multigrid_tpu.parallel import vector as pv
+
+    if family == "collect":
+        from gym_multigrid_tpu.envs.collect import CollectConfig
+
+        cfg = CollectConfig(
+            layout="quadrants_respawn", respawn=True, max_steps=50
+        )
+        env = pv.make_collect_batch(cfg, num_envs, use_pallas=use_pallas)
+    elif family == "ctf":
+        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+
+        cfg = CtfConfig.from_map_path(
+            map_path
+            or os.path.join(_REPO_ROOT, "tests/assets/board.txt"),
+            num_blue_agents=2,
+            num_red_agents=len(opponents),
+            variant="mvn",
+            enemy_policies=tuple(PolicySpec(k) for k in opponents),
+            observation_option="flattened",
+        )
+        env = pv.make_ctf_batch(cfg, num_envs, use_pallas=use_pallas)
+    elif family == "maze":
+        from gym_multigrid_tpu.envs.maze import MazeConfig
+
+        cfg = MazeConfig.from_map_path(
+            map_path
+            or os.path.join(_REPO_ROOT, "tests/assets/board_maze.txt"),
+            max_steps=100,
+        )
+        env = pv.make_maze_batch(cfg, num_envs, use_pallas=use_pallas)
+    elif family == "wildfire":
+        from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+
+        # With the spec defaults (ext_reward 1.0 > burn_penalty 0.1) an
+        # extinguished ignition nets +0.9, so "farm the fire" beats
+        # containment; burn_penalty >= ext_reward makes every ignition a
+        # net loss and fire-fighting the optimum (see artifacts/README.md).
+        cfg = WildfireConfig(
+            size=wf_size,
+            num_initial_fires=wf_fires,
+            p_spread=wf_spread,
+            max_steps=wf_max_steps,
+            burn_penalty=burn_penalty,
+        )
+        env = pv.make_wildfire_batch(cfg, num_envs, use_pallas=use_pallas)
+    else:
+        raise ValueError(
+            f"unknown family {family!r}; expected one of {FAMILIES}"
+        )
+    num_actions, agents_fn = _FAMILY_SPECS[family]
+    return env, cfg, num_actions, agents_fn(cfg)

@@ -20,70 +20,11 @@ import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FAMILY_SPECS = {
-    # family: (num_actions, agents_fn(cfg))
-    "collect": (4, lambda cfg: cfg.num_agents),
-    "ctf": (5, lambda cfg: cfg.num_blue_agents),
-    "maze": (5, lambda cfg: 1),
-    "wildfire": (5, lambda cfg: cfg.num_agents),
-}
-
-
-def build(family: str, num_envs: int, use_pallas: bool, **kwargs):
-    """(BatchedEnv, cfg, num_actions, policy_agents) for a family."""
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    from gym_multigrid_tpu.parallel import vector as pv
-
-    if family == "collect":
-        from gym_multigrid_tpu.envs.collect import CollectConfig
-
-        cfg = CollectConfig(
-            layout="quadrants_respawn", respawn=True, max_steps=50
-        )
-        env = pv.make_collect_batch(cfg, num_envs, use_pallas=use_pallas)
-    elif family == "ctf":
-        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-
-        cfg = CtfConfig.from_map_path(
-            os.path.join(root, "tests/assets/board.txt"),
-            num_blue_agents=2,
-            num_red_agents=2,
-            variant="mvn",
-            enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
-            observation_option="flattened",
-        )
-        env = pv.make_ctf_batch(cfg, num_envs, use_pallas=use_pallas)
-    elif family == "maze":
-        from gym_multigrid_tpu.envs.maze import MazeConfig
-
-        cfg = MazeConfig.from_map_path(
-            os.path.join(root, "tests/assets/board_maze.txt"), max_steps=100
-        )
-        env = pv.make_maze_batch(cfg, num_envs, use_pallas=use_pallas)
-    elif family == "wildfire":
-        from gym_multigrid_tpu.envs.wildfire import WildfireConfig
-
-        # With the spec defaults (ext_reward 1.0 > burn_penalty 0.1) an
-        # extinguished ignition nets +0.9, so "farm the fire" beats
-        # containment; burn_penalty >= ext_reward makes every ignition a
-        # net loss and fire-fighting the optimum (see artifacts/README.md).
-        cfg = WildfireConfig(
-            size=kwargs.get("wf_size", 8),
-            num_initial_fires=kwargs.get("wf_fires", 1),
-            p_spread=kwargs.get("wf_spread", 0.15),
-            max_steps=kwargs.get("wf_max_steps", 50),
-            burn_penalty=kwargs.get("burn_penalty", 1.0),
-        )
-        env = pv.make_wildfire_batch(cfg, num_envs, use_pallas=use_pallas)
-    else:
-        raise ValueError(family)
-    num_actions, agents_fn = FAMILY_SPECS[family]
-    return env, cfg, num_actions, agents_fn(cfg)
-
-
 def main() -> None:
+    from gym_multigrid_tpu.rl.families import FAMILIES
+
     p = argparse.ArgumentParser()
-    p.add_argument("--family", default="wildfire", choices=list(FAMILY_SPECS))
+    p.add_argument("--family", default="wildfire", choices=list(FAMILIES))
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--envs", type=int, default=512)
     p.add_argument("--rollout-len", type=int, default=32)
@@ -113,11 +54,12 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from gym_multigrid_tpu.rl.families import make_family_batch
     from gym_multigrid_tpu.rl.networks import ActorCritic
     from gym_multigrid_tpu.rl.ppo import PPOConfig
     from gym_multigrid_tpu.rl.trainer import train_loop
 
-    env, cfg, num_actions, policy_agents = build(
+    env, cfg, num_actions, policy_agents = make_family_batch(
         args.family,
         args.envs,
         args.pallas,
