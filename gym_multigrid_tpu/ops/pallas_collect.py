@@ -520,7 +520,35 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
     )
 
 
-def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
+def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
+                     rwd_tab, slot_tab, n_types):
+    """K Collect steps as plain XLA (the kernel body's loop, same
+    :func:`_step_math`, with gather-based reward/counter accumulation —
+    values identical to the kernel's iota-compare selects)."""
+    B, C = go.shape
+    A = pos.shape[1] // 2
+    rew = jnp.zeros((B, A), jnp.float32)
+    cnt = jnp.zeros((B, A, n_types), jnp.int32)
+    for k in range(K):
+        base = k * (A + 3)
+        acts = packed[:, base : base + A].astype(jnp.int32)
+        rnd = packed[:, base + A : base + A + 3]
+        go, gc, gs, pos, picked = _step_math(
+            t, go, gc, gs, pos, acts, rnd, rects, tril
+        )
+        got = picked >= 0  # (B, A)
+        ps = jnp.clip(picked, 0, rwd_tab.shape[0] - 1)
+        rew = rew + jnp.where(got, rwd_tab[ps], 0.0)
+        bump = jax.nn.one_hot(
+            slot_tab[ps], n_types, dtype=jnp.int32
+        ) * got[..., None].astype(jnp.int32)
+        cnt = cnt + bump
+    return go, gc, gs, pos, rew, cnt.reshape(B, A * n_types)
+
+
+def make_collect_episode_rollout(
+    cfg, chunk: int | None = None, interpret=None, use_kernel: bool = True
+):
     """Whole-episode rollout driver for truncation-only Collect configs.
 
     Returns rollout(states, key, num_steps) -> (states', metrics) matching
@@ -530,6 +558,9 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
     must be freshly reset (uniform step_count == 0).  Each max_steps episode
     runs as ceil(max_steps/chunk) kernel launches with bulk pre-drawn
     randomness, then all envs reset.
+
+    use_kernel=False runs the identical K-step math as one plain-XLA
+    program (:func:`_collect_ms_math` + the XLA `_reset_math` reset).
     """
     from gym_multigrid_tpu.envs.collect import make_collect
 
@@ -544,7 +575,7 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
     # put 15 consistently ahead of 10/20/25 (98.0-98.4M vs 96.0-97.7M
     # agent-steps/s at batch 8192).
     chunk = chunk or 15
-    reset_batch = make_collect_reset_batch(cfg, interpret)
+    reset_batch = make_collect_reset_batch(cfg, interpret, use_kernel)
     from gym_multigrid_tpu.envs.collect import build_plan, reward_slot_tables
 
     slot_rewards_np, slot_info_np, _ = reward_slot_tables(cfg, build_plan(cfg))
@@ -554,6 +585,12 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
     )
     A = cfg.num_agents
     n_types = cfg.num_ball_types
+    # Static arrays for the XLA (use_kernel=False) path.
+    C = cfg.num_cells
+    _ms_rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
+    _ms_tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    _ms_rwd = jnp.asarray(slot_rewards_np, dtype=jnp.float32)
+    _ms_slot = jnp.asarray(slot_info_np, dtype=jnp.int32)
 
     def _one_episode(states, key):
         """max_steps env steps (chunked kernel launches) + lockstep reset."""
@@ -568,18 +605,34 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
             packed = jnp.concatenate([acts, rnd], axis=2).reshape(
                 B, K * (A + 3)
             )
-            go, gc, gs, pos, rew, cnt = collect_multistep_slab(
-                t,
-                states.grid_obj,
-                states.grid_color,
-                states.grid_slot,
-                states.agent_pos.reshape(B, -1),
-                packed,
-                K,
-                reward_slot,
-                n_types,
-                interpret,
-            )
+            if use_kernel:
+                go, gc, gs, pos, rew, cnt = collect_multistep_slab(
+                    t,
+                    states.grid_obj,
+                    states.grid_color,
+                    states.grid_slot,
+                    states.agent_pos.reshape(B, -1),
+                    packed,
+                    K,
+                    reward_slot,
+                    n_types,
+                    interpret,
+                )
+            else:
+                go, gc, gs, pos, rew, cnt = _collect_ms_math(
+                    t,
+                    K,
+                    states.grid_obj,
+                    states.grid_color,
+                    states.grid_slot,
+                    states.agent_pos.reshape(B, -1),
+                    packed,
+                    _ms_rects,
+                    _ms_tril,
+                    _ms_rwd,
+                    _ms_slot,
+                    n_types,
+                )
             reward_sum = reward_sum + jnp.sum(rew)
             states = type(states)(
                 grid_obj=go,
@@ -602,7 +655,7 @@ def make_collect_episode_rollout(cfg, chunk: int | None = None, interpret=None):
         B = states.grid_obj.shape[0]
         n_eps = num_steps // cfg.max_steps
 
-        if interpret:
+        if interpret and use_kernel:
             # Interpreter-mode kernels under a compiled scan are
             # pathologically slow; eager episode loop for CPU testing.
             reward_sum = jnp.float32(0.0)
@@ -812,11 +865,14 @@ def collect_reset_slab(rt: _ResetTables, rnd, wall_tuple, ball_rects, tril, inte
     )(rnd, wall_row, ball_rects, tril)
 
 
-def make_collect_reset_batch(cfg, interpret: bool | None = None):
-    """Batch reset via the fused kernel: keys (B,) -> CollectState batch.
+def make_collect_reset_batch(
+    cfg, interpret: bool | None = None, use_kernel: bool = True
+):
+    """Batch reset via the fused placement program: keys (B,) -> CollectState.
 
     Distribution-identical to vmap(reset_fn): every placement is uniform
-    over the empty cells of its rect, drawn sequentially.
+    over the empty cells of its rect, drawn sequentially.  use_kernel=False
+    runs the identical math (:func:`_reset_math`) as plain XLA.
     """
     from gym_multigrid_tpu.envs.collect import CollectState, _wall_mask, build_plan
 
@@ -840,9 +896,15 @@ def make_collect_reset_batch(cfg, interpret: bool | None = None):
         B = keys.shape[0]
         new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
         rnd = jax.vmap(lambda k: jax.random.uniform(jax.random.split(k)[1], (n_draws,)))(keys)
-        go, gc, gs, pos = collect_reset_slab(
-            rt, rnd, wall_tuple, ball_rects, tril, interpret
-        )
+        if use_kernel:
+            go, gc, gs, pos = collect_reset_slab(
+                rt, rnd, wall_tuple, ball_rects, tril, interpret
+            )
+        else:
+            wall_row = jnp.asarray(np.array(wall_tuple, dtype=np.bool_))[
+                None, :
+            ]
+            go, gc, gs, pos = _reset_math(rt, wall_row, ball_rects, rnd, tril)
         return CollectState(
             grid_obj=go,
             grid_color=gc,

@@ -815,13 +815,19 @@ def ctf_reset_inputs(cfg):
     )
 
 
-def make_ctf_episode_rollout(cfg, chunk: int = 25, interpret=None):
+def make_ctf_episode_rollout(
+    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True
+):
     """rollout(states, key, num_steps) -> (states', metrics) on the fused
-    multi-step kernel with in-kernel per-env auto-reset and uniform-random
+    multi-step math with in-graph per-env auto-reset and uniform-random
     blue actions; metrics match BatchedEnv.rollout (reward_sum, episodes,
     ep_return_sum, run_return).  chunk=25 measured fastest on v5e (57.7M
     agent-steps/s @ 8192 vs 54.0M at 10); the CtF per-step rnd stream is
-    tiny so VMEM allows deep unrolls."""
+    tiny so VMEM allows deep unrolls.
+
+    use_kernel=False runs the identical K-step math (:func:`_ctf_ms_math`)
+    as one plain-XLA program — same pre-drawn randomness, no per-step key
+    splits or VMEM block constraints."""
     from gym_multigrid_tpu.envs.ctf import CtfState
 
     if cfg.num_agents > 8 or any(
@@ -845,23 +851,27 @@ def make_ctf_episode_rollout(cfg, chunk: int = 25, interpret=None):
         ).astype(jnp.float32)
         rnd = jax.random.uniform(k_r, (B, K, stride - t.n_blue))
         packed = jnp.concatenate([acts, rnd], axis=2).reshape(B, K * stride)
-        pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
-            ctf_multistep_slab(
-                t,
-                states.pos.reshape(B, 2 * A),
-                states.dir,
-                states.terminated.astype(jnp.int32),
-                states.collided.astype(jnp.int32),
-                states.step_count.reshape(B, 1),
-                run_ret,
-                K,
-                interpret,
-                packed,
-                cells,
-                (border, pool),
-                terr_pack,
-            )
+        args = (
+            states.pos.reshape(B, 2 * A),
+            states.dir,
+            states.terminated.astype(jnp.int32),
+            states.collided.astype(jnp.int32),
+            states.step_count.reshape(B, 1),
+            run_ret,
         )
+        if use_kernel:
+            pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
+                ctf_multistep_slab(
+                    t, *args, K, interpret, packed, cells,
+                    (border, pool), terr_pack,
+                )
+            )
+        else:
+            pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
+                _ctf_ms_math(
+                    t, K, *args, packed, cells, border, pool, *terr_pack
+                )
+            )
         states = CtfState(
             pos=pos.reshape(B, A, 2),
             dir=dirs,
@@ -886,7 +896,7 @@ def make_ctf_episode_rollout(cfg, chunk: int = 25, interpret=None):
             states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
             return (states, run_ret, key, rs + r, es + e, ec + n), None
 
-        if interpret:
+        if interpret and use_kernel:
             for _ in range(n_full):
                 key, k = jax.random.split(key)
                 states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)

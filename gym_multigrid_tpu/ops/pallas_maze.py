@@ -154,10 +154,17 @@ def maze_multistep_slab(t: MazeTables, pos, dirs, sc, run_ret, K, interpret,
     )(pos, dirs, sc, run_ret, packed, cells, bg)
 
 
-def make_maze_episode_rollout(cfg, chunk: int = 25, interpret=None):
-    """rollout(states, key, num_steps) on the fused multi-step kernel with
-    in-kernel auto-reset and uniform-random actions; metrics match
-    BatchedEnv.rollout."""
+def make_maze_episode_rollout(
+    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True
+):
+    """rollout(states, key, num_steps) on the fused multi-step math with
+    in-graph auto-reset and uniform-random actions; metrics match
+    BatchedEnv.rollout.
+
+    use_kernel=False runs the identical K-step math (:func:`_maze_ms_math`)
+    as one plain-XLA program — same pre-drawn randomness, no per-step key
+    splits — which lets XLA pipeline across the unrolled steps without the
+    kernel's VMEM block constraints."""
     from gym_multigrid_tpu.envs.maze import NUM_ACTIONS, MazeState
 
     t = maze_tables(cfg)
@@ -175,18 +182,31 @@ def make_maze_episode_rollout(cfg, chunk: int = 25, interpret=None):
         packed = jnp.concatenate([acts, rnd], axis=2).reshape(
             B, K * MS_STRIDE
         )
-        pos, dirs, sc, run_ret, rew, ep_sum, eps = maze_multistep_slab(
-            t,
-            states.pos.reshape(B, 2),
-            states.dir.reshape(B, 1),
-            states.step_count.reshape(B, 1),
-            run_ret,
-            K,
-            interpret,
-            packed,
-            cells,
-            bg,
-        )
+        if use_kernel:
+            pos, dirs, sc, run_ret, rew, ep_sum, eps = maze_multistep_slab(
+                t,
+                states.pos.reshape(B, 2),
+                states.dir.reshape(B, 1),
+                states.step_count.reshape(B, 1),
+                run_ret,
+                K,
+                interpret,
+                packed,
+                cells,
+                bg,
+            )
+        else:
+            pos, dirs, sc, run_ret, rew, ep_sum, eps = _maze_ms_math(
+                t,
+                K,
+                states.pos.reshape(B, 2),
+                states.dir.reshape(B, 1),
+                states.step_count.reshape(B, 1),
+                run_ret,
+                packed,
+                cells,
+                bg,
+            )
         states = MazeState(
             pos=pos,
             dir=dirs.reshape(B),
@@ -209,7 +229,7 @@ def make_maze_episode_rollout(cfg, chunk: int = 25, interpret=None):
             states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
             return (states, run_ret, key, rs + r, es + e, ec + n), None
 
-        if interpret:
+        if interpret and use_kernel:
             for _ in range(n_full):
                 key, k = jax.random.split(key)
                 states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)

@@ -195,15 +195,21 @@ def wildfire_multistep_slab(
     )(cells, pos, sc, ext, run_ret, packed, adj, tril)
 
 
-def make_wildfire_episode_rollout(cfg, chunk: int = 8, interpret=None):
+def make_wildfire_episode_rollout(
+    cfg, chunk: int = 8, interpret=None, use_kernel: bool = True
+):
     """rollout(states, key, num_steps) -> (states', metrics) on the fused
-    multi-step kernel, matching BatchedEnv.rollout with uniform-random
+    multi-step math, matching BatchedEnv.rollout with uniform-random
     actions and in-graph auto-reset.  metrics: reward_sum, episodes,
-    ep_return_sum, run_return — same keys as BatchedEnv.rollout."""
+    ep_return_sum, run_return — same keys as BatchedEnv.rollout.
+
+    use_kernel=False runs the identical K-step math (:func:`_ms_math`) as
+    one plain-XLA program — same pre-drawn randomness and fused auto-reset,
+    no VMEM block constraints."""
     from gym_multigrid_tpu.envs.wildfire import WildfireState, wf_tables
 
     t = wf_tables(cfg)
-    if not kernel_supported(t):
+    if use_kernel and not kernel_supported(t):
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -211,6 +217,8 @@ def make_wildfire_episode_rollout(cfg, chunk: int = 8, interpret=None):
     C = t.n_cells
     h, w = cfg.height, cfg.width
     stride = A + step_rnd_width(t) + reset_rnd_width(t)
+    adj_x = jnp.asarray(adjacency(t))
+    tril_x = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
 
     def _launch(states, run_ret, key, K):
         B = states.cells.shape[0]
@@ -218,19 +226,33 @@ def make_wildfire_episode_rollout(cfg, chunk: int = 8, interpret=None):
         acts = jax.random.randint(k_a, (B, K, A), 0, 5).astype(jnp.float32)
         rnd = jax.random.uniform(k_r, (B, K, stride - A))
         packed = jnp.concatenate([acts, rnd], axis=2).reshape(B, K * stride)
-        cells, pos, sc, ext, run_ret, rew, ep_sum, eps = (
-            wildfire_multistep_slab(
+        if use_kernel:
+            cells, pos, sc, ext, run_ret, rew, ep_sum, eps = (
+                wildfire_multistep_slab(
+                    t,
+                    states.cells.reshape(B, C),
+                    states.agent_pos.reshape(B, 2 * A),
+                    states.step_count.reshape(B, 1),
+                    states.extinguished.reshape(B, 1),
+                    run_ret,
+                    K,
+                    interpret,
+                    packed,
+                )
+            )
+        else:
+            cells, pos, sc, ext, run_ret, rew, ep_sum, eps = _ms_math(
                 t,
+                K,
                 states.cells.reshape(B, C),
                 states.agent_pos.reshape(B, 2 * A),
                 states.step_count.reshape(B, 1),
                 states.extinguished.reshape(B, 1),
                 run_ret,
-                K,
-                interpret,
                 packed,
+                adj_x,
+                tril_x,
             )
-        )
         states = WildfireState(
             cells=cells.reshape(B, h, w),
             agent_pos=pos.reshape(B, A, 2),
@@ -255,7 +277,7 @@ def make_wildfire_episode_rollout(cfg, chunk: int = 8, interpret=None):
             states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
             return (states, run_ret, key, rs + r, es + e, ec + n), None
 
-        if interpret:
+        if interpret and use_kernel:
             # eager loop: interpreter-mode kernels under scan crawl
             for _ in range(n_full):
                 key, k = jax.random.split(key)
