@@ -38,25 +38,26 @@ STEPS_PER_CALL = 250
 
 def main():
     cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=50)
-    # The fused Pallas step (ops/pallas_collect.py) needs real TPU hardware;
-    # anywhere else fall back to the plain XLA path (interpret mode would
-    # crawl at this batch size).
-    use_pallas = jax.default_backend() not in ("cpu",)
-    env = make_collect_batch(cfg, BATCH, auto_reset=True, use_pallas=use_pallas)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    env = make_collect_batch(cfg, BATCH, auto_reset=True)
 
     @jax.jit
     def init(key):
         states, _ = env.reset(key)
         return states
 
-    if use_pallas:
-        # Fused multi-step episode kernel: K env steps per launch with bulk
-        # pre-drawn randomness (ops/pallas_collect.py).
+    if on_tpu:
+        # Fastest measured path (scripts/sweep_paths.py, v5e @ 8192): the
+        # whole-episode multi-step math as plain XLA — 50 env steps per
+        # launch with bulk pre-drawn randomness, episode reset fused in
+        # (128.2M agent-steps/s vs 63.4M for the fused Pallas episode
+        # kernel and 66.4M for the per-step slab rollout under identical
+        # sweep settings).
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )
 
-        rollout = make_collect_episode_rollout(cfg)
+        rollout = make_collect_episode_rollout(cfg, chunk=50, use_kernel=False)
         run = jax.jit(lambda s, k: rollout(s, k, STEPS_PER_CALL))
     else:
 

@@ -3,15 +3,25 @@
 Regenerates every number in the README perf table from one command (the
 driver-facing single-metric harness stays in bench.py):
 
-  python bench_all.py                 # all families, best path per backend
-  python bench_all.py --families collect,ctf --xla-also
+  python bench_all.py                 # all families, headline path each
+  python bench_all.py --families collect,ctf --all-paths
   python bench_all.py --batch 256 --steps 50 --reps 2   # small smoke
 
-Paths: "pallas" = fused kernels (real TPU only; ops/pallas_*.py),
-"xla" = the plain vmapped lax.scan rollout.  vs_baseline divides by the
-reference's measured single-core throughput (BASELINE.md); Wildfire has no
-reference implementation, so its vs_baseline is against the 10M/chip
-BASELINE.json north-star target instead.
+Paths (scripts/sweep_paths.py is the dev tool that picked the headlines):
+
+- "xla-ms"      K env steps per launch as one plain-XLA program with bulk
+                pre-drawn randomness and fused auto-reset (the multi-step
+                kernels' math via use_kernel=False).  Headline for
+                Collect / CtF / Maze.
+- "xla-step"    per-step slab math under BatchedEnv.rollout's lax.scan.
+                Headline for Wildfire (its stencil pipelines better with
+                per-step cond-gated resets than with the unrolled
+                episode math).
+- "pallas-ms"   the fused multi-step Pallas episode kernels (TPU only).
+
+vs_baseline divides by the reference's measured single-core throughput
+(BASELINE.md); Wildfire has no reference implementation, so its
+vs_baseline is against the 10M/chip BASELINE.json north-star target.
 """
 
 from __future__ import annotations
@@ -38,112 +48,131 @@ BASELINES = {
     "wildfire": 10_000_000.0,  # north-star target, no reference code exists
 }
 
+# Fastest measured (family, path) chunk sizes (scripts/sweep_paths.py,
+# v5e @ batch 8192): deeper unrolls amortize launch + randomness packing
+# until compile time / code size bites.
+MS_CHUNKS = {"collect": 50, "ctf": 50, "maze": 50, "wildfire": 8}
 
-def _make_runner(family: str, batch: int, steps: int, use_pallas: bool):
-    """Returns (init_fn(key)->states, run_fn(states,key)->(states,metrics),
-    agents_per_env).  run_fn advances every env `steps` steps."""
-    from bench_multichip import build_env
+# Headline path per family; the rest are measured with --all-paths.
+HEADLINE = {
+    "collect": "xla-ms",
+    "ctf": "xla-ms",
+    "maze": "xla-ms",
+    "wildfire": "xla-step",
+}
+ALT_PATHS = ("xla-step", "xla-ms", "pallas-ms")
 
-    if family == "collect" and use_pallas:
-        # Fused multi-step episode kernel (step+reset in one launch).
+
+def _family_cfg(family: str):
+    root = os.path.dirname(os.path.abspath(__file__))
+    if family == "collect":
         from gym_multigrid_tpu.envs.collect import CollectConfig
-        from gym_multigrid_tpu.ops.pallas_collect import (
-            make_collect_episode_rollout,
-        )
         from gym_multigrid_tpu.parallel.vector import make_collect_batch
 
         cfg = CollectConfig(
             layout="quadrants_respawn", respawn=True, max_steps=50
         )
-        env = make_collect_batch(cfg, batch)
-        rollout = make_collect_episode_rollout(cfg)
-        assert steps % cfg.max_steps == 0, "steps must align with episodes"
-        return (
-            jax.jit(lambda k: env.reset(k)[0]),
-            jax.jit(lambda s, k: rollout(s, k, steps)),
-            cfg.num_agents,
-        )
-
-    if family == "ctf" and use_pallas:
-        # Auto-resetting multi-step episode kernel (10 steps per launch)
-        # beats stepping the single-step kernel under scan.
+        return cfg, make_collect_batch, cfg.num_agents
+    if family == "ctf":
         from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-        from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
         from gym_multigrid_tpu.parallel.vector import make_ctf_batch
 
         cfg = CtfConfig.from_map_path(
-            os.path.join(os.path.dirname(__file__), "tests/assets/board.txt"),
+            os.path.join(root, "tests/assets/board.txt"),
             num_blue_agents=2,
             num_red_agents=2,
             variant="mvn",
             enemy_policies=(PolicySpec("fight"), PolicySpec("rw")),
             observation_option="flattened",
         )
-        env = make_ctf_batch(cfg, batch)
-        rollout = make_ctf_episode_rollout(cfg)
-        return (
-            jax.jit(lambda k: env.reset(k)[0]),
-            jax.jit(lambda s, k: rollout(s, k, steps)),
-            cfg.num_agents,
-        )
-
-    if family == "maze" and use_pallas:
-        # Fused multi-step kernel with in-kernel auto-reset.
+        return cfg, make_ctf_batch, cfg.num_agents
+    if family == "maze":
         from gym_multigrid_tpu.envs.maze import MazeConfig
-        from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
         from gym_multigrid_tpu.parallel.vector import make_maze_batch
 
         cfg = MazeConfig.from_map_path(
-            os.path.join(
-                os.path.dirname(__file__), "tests/assets/board_maze.txt"
-            ),
-            max_steps=100,
+            os.path.join(root, "tests/assets/board_maze.txt"), max_steps=100
         )
-        env = make_maze_batch(cfg, batch)
-        rollout = make_maze_episode_rollout(cfg)
-        return (
-            jax.jit(lambda k: env.reset(k)[0]),
-            jax.jit(lambda s, k: rollout(s, k, steps)),
-            1,
-        )
-
-    if family == "wildfire" and use_pallas:
-        # Fused multi-step kernel with in-kernel per-env auto-reset.
+        return cfg, make_maze_batch, 1
+    if family == "wildfire":
         from gym_multigrid_tpu.envs.wildfire import WildfireConfig
-        from gym_multigrid_tpu.ops.pallas_wildfire import (
-            make_wildfire_episode_rollout,
-        )
         from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
 
         cfg = WildfireConfig(size=16, max_steps=100)
-        env = make_wildfire_batch(cfg, batch)
-        rollout = make_wildfire_episode_rollout(cfg)
-        return (
-            jax.jit(lambda k: env.reset(k)[0]),
-            jax.jit(lambda s, k: rollout(s, k, steps)),
-            cfg.num_agents,
+        return cfg, make_wildfire_batch, cfg.num_agents
+    raise ValueError(family)
+
+
+def _episode_rollout(family: str, cfg, use_kernel: bool):
+    chunk = MS_CHUNKS[family]
+    if family == "collect":
+        from gym_multigrid_tpu.ops.pallas_collect import (
+            make_collect_episode_rollout,
         )
 
-    env, agents = build_env(family, batch, use_pallas)
-    return (
-        jax.jit(lambda k: env.reset(k)[0]),
-        jax.jit(lambda s, k: env.rollout(s, k, steps)),
-        agents,
-    )
+        return make_collect_episode_rollout(
+            cfg, chunk=chunk, use_kernel=use_kernel
+        )
+    if family == "ctf":
+        from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
+
+        return make_ctf_episode_rollout(
+            cfg, chunk=chunk, use_kernel=use_kernel
+        )
+    if family == "maze":
+        from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
+
+        return make_maze_episode_rollout(
+            cfg, chunk=chunk, use_kernel=use_kernel
+        )
+    if family == "wildfire":
+        from gym_multigrid_tpu.ops.pallas_wildfire import (
+            make_wildfire_episode_rollout,
+        )
+
+        return make_wildfire_episode_rollout(
+            cfg, chunk=chunk, use_kernel=use_kernel
+        )
+    raise ValueError(family)
 
 
-def measure(family: str, batch: int, steps: int, reps: int, use_pallas: bool):
-    init, run, agents = _make_runner(family, batch, steps, use_pallas)
+def _make_runner(family: str, batch: int, steps: int, path: str):
+    """Returns (init_fn(key)->states, run_fn(states,key)->(states,metrics),
+    agents_per_env) or None if `path` is unsupported for this family here.
+    run_fn advances every env `steps` steps."""
+    cfg, make_batch, agents = _family_cfg(family)
+    env = make_batch(cfg, batch)
+    init = jax.jit(lambda k: env.reset(k)[0])
+    if path in ("xla-ms", "pallas-ms"):
+        if family == "collect" and steps % cfg.max_steps != 0:
+            return None  # episode rollout needs episode-aligned steps
+        ro = _episode_rollout(family, cfg, path == "pallas-ms")
+        if ro is None:
+            return None
+        return init, jax.jit(lambda s, k: ro(s, k, steps)), agents
+    return init, jax.jit(lambda s, k: env.rollout(s, k, steps)), agents
+
+
+def measure(family: str, batch: int, steps: int, reps: int, path: str):
+    made = _make_runner(family, batch, steps, path)
+    if made is None:
+        return None
+    init, run, agents = made
     states = init(jax.random.PRNGKey(0))
     states, metrics = run(states, jax.random.PRNGKey(1))  # compile + warm
     jax.block_until_ready(metrics["reward_sum"])
-    t0 = time.perf_counter()
-    for r in range(reps):
-        states, metrics = run(states, jax.random.PRNGKey(2 + r))
-    jax.block_until_ready(metrics["reward_sum"])
-    dt = time.perf_counter() - t0
-    agent_steps = batch * steps * reps * agents
-    return agent_steps / dt
+    # Best of 3 timed windows: the TPU tunnel's dispatch-latency spikes add
+    # ±2-4% noise; the fastest window estimates sustained device throughput.
+    best_dt = float("inf")
+    for w in range(3):
+        t0 = time.perf_counter()
+        for r in range(reps):
+            states, metrics = run(
+                states, jax.random.PRNGKey(2 + w * reps + r)
+            )
+        jax.block_until_ready(metrics["reward_sum"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return batch * steps * reps * agents / best_dt
 
 
 def main(argv=None):
@@ -153,9 +182,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument(
+        "--all-paths",
         "--xla-also",
         action="store_true",
-        help="on TPU, also measure the plain XLA path where a kernel exists",
+        dest="all_paths",
+        help="measure every supported path, not just the headline",
     )
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -165,31 +196,22 @@ def main(argv=None):
     on_tpu = jax.default_backend() not in ("cpu",)
     lines = []
     for family in args.families.split(","):
-        # Collect's fused episode kernel needs episode-aligned steps.
+        # Collect's episode rollouts need episode-aligned steps.
         steps = args.steps
-        if family == "collect" and on_tpu and steps % 50 != 0:
+        if family == "collect" and steps % 50 != 0:
             steps = max(50, (steps // 50) * 50)
-        paths = []
-        from gym_multigrid_tpu.ops import kernels_available
-
-        has_kernel = on_tpu and kernels_available(family)
-        if family in ("wildfire", "ctf") and on_tpu:
-            # The slab-math XLA paths measure faster than the fused
-            # kernels here (wildfire 62.7M vs 32.9M, CtF 106.1M vs 57.7M
-            # agent-steps/s on v5e @ 8192) — XLA is the headline path; the
-            # compiler pipelines the pre-drawn uniform stream better than
-            # the VMEM-resident kernels.
-            paths.append(("xla", False))
-            if args.xla_also and has_kernel:
-                paths.append(("pallas", True))
-        elif has_kernel:
-            paths.append(("pallas", True))
-            if args.xla_also:
-                paths.append(("xla", False))
-        else:
-            paths.append(("xla", False))
-        for path_name, use_pallas in paths:
-            aps = measure(family, args.batch, steps, args.reps, use_pallas)
+        headline = HEADLINE[family] if on_tpu else "xla-step"
+        paths = [headline]
+        if args.all_paths:
+            paths += [
+                q
+                for q in ALT_PATHS
+                if q != headline and (on_tpu or q != "pallas-ms")
+            ]
+        for path_name in paths:
+            aps = measure(family, args.batch, steps, args.reps, path_name)
+            if aps is None:
+                continue
             base = BASELINES[family]
             rec = {
                 "metric": (

@@ -1,0 +1,168 @@
+"""The XLA multi-step episode paths (use_kernel=False) match the fused
+multi-step kernels launch for launch.
+
+Both sides of make_*_episode_rollout draw the SAME pre-packed randomness
+from the same key and share the per-step slab math; the only differences
+are accumulation order (kernel iota-compare selects vs XLA gathers) and
+the interpreter's float reductions (~1 ulp).  So: int state fields are
+bit-equal, float metrics agree to tight tolerance.
+
+This pins the promoted headline paths (bench_all.py HEADLINE) to the
+kernels that are themselves bit-compared against the pure per-env spec in
+test_pallas*.py — closing the chain headline-path == kernel == spec.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+TESTS = os.path.dirname(os.path.abspath(__file__))
+
+
+def _compare(roll_k, roll_x, states, steps, int_fields, float_fields):
+    key = jax.random.PRNGKey(42)
+    s_k, m_k = roll_k(states, key, steps)
+    s_x, m_x = roll_x(states, key, steps)
+    for f in int_fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_k, f)), np.asarray(getattr(s_x, f)), err_msg=f
+        )
+    for f in float_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_k, f)),
+            np.asarray(getattr(s_x, f)),
+            rtol=1e-5,
+            atol=1e-5,
+            err_msg=f,
+        )
+    assert int(m_k["episodes"]) == int(m_x["episodes"])
+    for name in ("reward_sum", "ep_return_sum"):
+        np.testing.assert_allclose(
+            float(m_k[name]), float(m_x[name]), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(m_k["run_return"]),
+        np.asarray(m_x["run_return"]),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_collect_episode_xla_matches_kernel():
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        make_collect_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+    cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=10)
+    env = make_collect_batch(cfg, 16)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    roll_k = make_collect_episode_rollout(cfg, chunk=5, interpret=True)
+    roll_x = make_collect_episode_rollout(
+        cfg, chunk=5, interpret=True, use_kernel=False
+    )
+    _compare(
+        roll_k, roll_x, states, 20,
+        int_fields=("grid_obj", "grid_color", "grid_slot", "agent_pos",
+                    "step_count"),
+        float_fields=(),
+    )
+
+
+def test_ctf_episode_xla_matches_kernel():
+    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+    from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
+    from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+
+    cfg = CtfConfig.from_map_path(
+        os.path.join(TESTS, "assets/board.txt"),
+        num_blue_agents=2,
+        num_red_agents=2,
+        variant="mvn",
+        enemy_policies=(PolicySpec("fight"), PolicySpec("rw")),
+        observation_option="flattened",
+        max_steps=8,
+    )
+    env = make_ctf_batch(cfg, 16)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    roll_k = make_ctf_episode_rollout(cfg, chunk=4, interpret=True)
+    roll_x = make_ctf_episode_rollout(
+        cfg, chunk=4, interpret=True, use_kernel=False
+    )
+    _compare(
+        roll_k, roll_x, states, 8,
+        int_fields=("pos", "dir", "terminated", "collided", "step_count"),
+        float_fields=(),
+    )
+
+
+def test_maze_episode_xla_matches_kernel():
+    from gym_multigrid_tpu.envs.maze import MazeConfig
+    from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
+    from gym_multigrid_tpu.parallel.vector import make_maze_batch
+
+    cfg = MazeConfig.from_map_path(
+        os.path.join(TESTS, "assets/board_maze.txt"), max_steps=10
+    )
+    env = make_maze_batch(cfg, 16)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    roll_k = make_maze_episode_rollout(cfg, chunk=5, interpret=True)
+    roll_x = make_maze_episode_rollout(
+        cfg, chunk=5, interpret=True, use_kernel=False
+    )
+    _compare(
+        roll_k, roll_x, states, 20,
+        int_fields=("pos", "dir", "step_count"),
+        float_fields=(),
+    )
+
+
+def test_wildfire_episode_xla_matches_kernel():
+    from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+    from gym_multigrid_tpu.ops.pallas_wildfire import (
+        make_wildfire_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+    cfg = WildfireConfig(size=16, max_steps=6)
+    env = make_wildfire_batch(cfg, 8)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    roll_k = make_wildfire_episode_rollout(cfg, chunk=3, interpret=True)
+    roll_x = make_wildfire_episode_rollout(
+        cfg, chunk=3, interpret=True, use_kernel=False
+    )
+    assert roll_k is not None and roll_x is not None
+    _compare(
+        roll_k, roll_x, states, 6,
+        int_fields=("cells", "agent_pos", "step_count"),
+        float_fields=("extinguished",),
+    )
+
+
+def test_xla_ms_unsupported_config_still_works():
+    # Outside the kernel envelope the kernel factory returns None, but the
+    # XLA twin must still build (it has no envelope).
+    from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+    from gym_multigrid_tpu.ops.pallas_wildfire import (
+        make_wildfire_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+    cfg = WildfireConfig(size=8, max_steps=4)
+    assert make_wildfire_episode_rollout(cfg, interpret=True) is None
+    roll_x = make_wildfire_episode_rollout(
+        cfg, chunk=2, interpret=True, use_kernel=False
+    )
+    assert roll_x is not None
+    env = make_wildfire_batch(cfg, 4)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    s, m = roll_x(states, jax.random.PRNGKey(1), 4)
+    assert np.isfinite(float(m["reward_sum"]))
