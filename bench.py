@@ -47,12 +47,13 @@ def main():
         return states
 
     if on_tpu:
-        # Fastest measured path (scripts/sweep_paths.py, v5e @ 8192): the
-        # whole-episode multi-step math as plain XLA — 50 env steps per
-        # launch with bulk pre-drawn randomness, episode reset fused in
-        # (128.2M agent-steps/s vs 63.4M for the fused Pallas episode
-        # kernel and 66.4M for the per-step slab rollout under identical
-        # sweep settings).
+        # Fastest measured path (bench_all.py --all-paths, v5e @ 8192):
+        # the whole-episode multi-step math as plain XLA — 50 env steps
+        # per launch with bulk pre-drawn randomness, episode reset fused
+        # in (113.7M agent-steps/s vs 66.4M for the fused Pallas episode
+        # kernel and 66.8M for the per-step slab rollout under identical
+        # settings; this harness's longer timed windows amortize launch
+        # dispatch further).
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )

@@ -49,9 +49,14 @@ BASELINES = {
 }
 
 # Fastest measured (family, path) chunk sizes (scripts/sweep_paths.py,
-# v5e @ batch 8192): deeper unrolls amortize launch + randomness packing
-# until compile time / code size bites.
-MS_CHUNKS = {"collect": 50, "ctf": 50, "maze": 50, "wildfire": 8}
+# v5e @ batch 8192).  The XLA multi-step paths take deep unrolls; the
+# kernels are capped by scoped VMEM, which grows with unroll length
+# (~16 MB limit — collect chunk 50 needs 26 MB), so they keep the
+# shallower chunks they were tuned at.
+MS_CHUNKS = {
+    "xla-ms": {"collect": 50, "ctf": 50, "maze": 50, "wildfire": 8},
+    "pallas-ms": {"collect": 15, "ctf": 25, "maze": 25, "wildfire": 8},
+}
 
 # Headline path per family; the rest are measured with --all-paths.
 HEADLINE = {
@@ -104,7 +109,7 @@ def _family_cfg(family: str):
 
 
 def _episode_rollout(family: str, cfg, use_kernel: bool):
-    chunk = MS_CHUNKS[family]
+    chunk = MS_CHUNKS["pallas-ms" if use_kernel else "xla-ms"][family]
     if family == "collect":
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,

@@ -117,10 +117,20 @@ def _ms_math(t: WfTables, K, cells, pos, sc, ext, run_ret, packed, adj, tril):
     ep_sum = jnp.zeros((B, 1), jnp.float32)
     eps = jnp.zeros((B, 1), jnp.int32)
     for k in range(K):
-        base = k * stride
-        acts = packed[:, base : base + A].astype(jnp.int32)
-        rnd_step = packed[:, base + A : base + A + Rs]
-        rnd_reset = packed[:, base + A + Rs : base + stride]
+        if isinstance(packed, tuple):
+            # XLA path: the (acts, rnd) draws unconcatenated — identical
+            # values to the packed layout, but the big (B, K*stride)
+            # concat (~0.5 MB/env at 16x16) never materializes and each
+            # step's slice is contiguous.
+            acts_f, rnd_f = packed
+            acts = acts_f[:, k].astype(jnp.int32)
+            rnd_step = rnd_f[:, k, :Rs]
+            rnd_reset = rnd_f[:, k, Rs : Rs + Rr]
+        else:
+            base = k * stride
+            acts = packed[:, base : base + A].astype(jnp.int32)
+            rnd_step = packed[:, base + A : base + A + Rs]
+            rnd_reset = packed[:, base + A + Rs : base + stride]
 
         cells2, pos2, reward, n_ext, term = wf_step_math(
             t, cells, pos, acts, rnd_step, adj
@@ -225,8 +235,10 @@ def make_wildfire_episode_rollout(
         k_a, k_r = jax.random.split(key)
         acts = jax.random.randint(k_a, (B, K, A), 0, 5).astype(jnp.float32)
         rnd = jax.random.uniform(k_r, (B, K, stride - A))
-        packed = jnp.concatenate([acts, rnd], axis=2).reshape(B, K * stride)
         if use_kernel:
+            packed = jnp.concatenate([acts, rnd], axis=2).reshape(
+                B, K * stride
+            )
             cells, pos, sc, ext, run_ret, rew, ep_sum, eps = (
                 wildfire_multistep_slab(
                     t,
@@ -249,7 +261,7 @@ def make_wildfire_episode_rollout(
                 states.step_count.reshape(B, 1),
                 states.extinguished.reshape(B, 1),
                 run_ret,
-                packed,
+                (acts, rnd),
                 adj_x,
                 tril_x,
             )

@@ -166,3 +166,31 @@ def test_xla_ms_unsupported_config_still_works():
     states, _ = env.reset(jax.random.PRNGKey(0))
     s, m = roll_x(states, jax.random.PRNGKey(1), 4)
     assert np.isfinite(float(m["reward_sum"]))
+
+
+@pytest.mark.parametrize("C", [64, 256])
+def test_prefix_sum_pick_matches_oracle(C):
+    # The masked picks run prefix sums as a tril matmul on the MXU; float
+    # accumulation is exact only because entries are 0/1 and counts never
+    # exceed C <= 256.  Pin against a float64 numpy oracle at the C=256
+    # edge (worst case: all lanes set) plus the empty-row and r==count-1
+    # boundaries.
+    from gym_multigrid_tpu.ops.pallas_collect import _masked_pick
+
+    rng = np.random.default_rng(0)
+    B = 257
+    mask = rng.random((B, C)) < 0.5
+    mask[0] = True  # full row: count == C, the largest partial sums
+    mask[1] = False  # empty row: must pick nothing
+    u = rng.random((B, 1)).astype(np.float32)
+    u[2] = np.float32(1.0 - 1e-7)  # r == count-1 boundary
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+
+    hit = np.asarray(_masked_pick(jnp.asarray(mask), jnp.asarray(u), tril))
+
+    count = mask.sum(axis=1, keepdims=True)
+    r = np.minimum((u * count).astype(np.int64), count - 1)
+    cum = mask.astype(np.float64) @ np.triu(np.ones((C, C)))
+    expect = (cum.astype(np.int64) == r + 1) & mask
+    np.testing.assert_array_equal(hit, expect)
+    assert hit[1].sum() == 0 and hit[0].sum() == 1
