@@ -39,13 +39,30 @@ def main() -> None:
         return c[: len(x)]
 
     fig, axes = plt.subplots(1, 3, figsize=(13, 3.6))
-    axes[0].plot(steps, m["ep_return_mean"], alpha=0.25, color="C0")
-    axes[0].plot(steps, smooth(m["ep_return_mean"]), color="C0")
+    # Iterations whose rollout window completed no episode log
+    # ep_return_mean = 0 — drop them rather than average the zeros in
+    # (episodes end every max_steps, the window is shorter, so a fixed
+    # fraction of iterations have no completions).
+    ret = np.asarray(m["ep_return_mean"], dtype=float)
+    if "episodes" in m:
+        has_ep = np.asarray(m["episodes"], dtype=float) > 0
+        rsteps, ret = steps[has_ep], ret[has_ep]
+    else:
+        rsteps = steps
+    axes[0].plot(rsteps, ret, alpha=0.25, color="C0")
+    axes[0].plot(rsteps, smooth(ret), color="C0")
     axes[0].axhline(
-        np.nanmean(m["ep_return_mean"][1:10]), ls="--", c="grey", lw=1,
+        np.nanmean(ret[1:10]), ls="--", c="grey", lw=1,
         label="random-policy start",
     )
-    axes[0].set_title("mean episode return (CtF MvN 2v2 vs scripted reds)")
+    # Title from the logdir's family name (logs/<family>); the CtF
+    # artifact predates generic training and logs under logs/ directly.
+    family = os.path.basename(os.path.normpath(logdir))
+    label = {
+        "logs": "CtF MvN 2v2 vs scripted reds",
+        "ctf": "CtF MvN 2v2 vs scripted reds",
+    }.get(family, family)
+    axes[0].set_title(f"mean episode return ({label})")
     axes[0].set_xlabel("PPO iteration")
     axes[0].legend(loc="lower right", fontsize=8)
     axes[1].plot(steps, m["reward_per_step"], alpha=0.25, color="C1")
