@@ -103,9 +103,18 @@ def train_loop(
     use_tensorboard: bool = True,
     label: str = "",
     extra_metrics: Callable[[dict], dict] | None = None,
+    iters_per_call: int = 1,
 ):
     """Run `iters` PPO iterations with resume + logging; returns
-    (params, opt_state, states, key, last_metrics)."""
+    (params, opt_state, states, key, last_metrics).
+
+    iters_per_call > 1 scans that many whole PPO iterations inside ONE
+    jitted call (per-iteration metrics still come back, stacked).  On
+    the remote-dispatch TPU backend each host->device call costs
+    10-20 ms, which dominates small train steps; batching iterations
+    per dispatch removes it.  A trailing partial chunk compiles a
+    second scan length, so pick iters_per_call | iters when compile
+    time matters."""
     init_fn, train_step = make_ppo(env, net, ppo_cfg)
     model_path = os.path.join(out, "models", model_name)
     params, opt_state, states, key, resumed = resume_or_init(
@@ -119,30 +128,55 @@ def train_loop(
     logger = MetricsLogger(logdir, use_tensorboard=use_tensorboard)
     it0 = logger.last_step + 1 if resumed else 0
 
-    step = jax.jit(train_step, donate_argnums=(1, 2))
+    chunk_fns: dict[int, Callable] = {}
+
+    def run_chunk(params, opt_state, states, key, n: int):
+        """n PPO iterations in one jitted dispatch; metrics stacked (n, ...)."""
+        if n not in chunk_fns:
+
+            def multi(p, o, s, k):
+                def body(carry, _):
+                    p, o, s, k = carry
+                    p, o, s, k, m = train_step(p, o, s, k)
+                    return (p, o, s, k), m
+
+                (p, o, s, k), ms = jax.lax.scan(
+                    body, (p, o, s, k), None, length=n
+                )
+                return p, o, s, k, ms
+
+            chunk_fns[n] = jax.jit(multi, donate_argnums=(1, 2))
+        return chunk_fns[n](params, opt_state, states, key)
+
     steps_per_iter = env.num_envs * ppo_cfg.rollout_len
     t0 = time.perf_counter()
     metrics = {}
-    for it in range(it0, it0 + iters):
-        params, opt_state, states, key, metrics = step(
-            params, opt_state, states, key
+    it, it_end = it0, it0 + iters
+    while it < it_end:
+        n = min(max(1, iters_per_call), it_end - it)
+        params, opt_state, states, key, stacked = run_chunk(
+            params, opt_state, states, key, n
         )
-        jax.block_until_ready(metrics["loss"])
-        sps = steps_per_iter * (it - it0 + 1) / (time.perf_counter() - t0)
-        row = {k: metrics[k] for k in LOG_KEYS}
-        row["env_steps_per_sec"] = sps
-        if extra_metrics is not None:
-            row.update(extra_metrics(metrics))
-        logger.log(it, row)
-        if it % 10 == 0 or it == it0 + iters - 1:
-            tag = f"[{label}] " if label else ""
-            print(
-                f"{tag}iter {it:4d}  loss {float(metrics['loss']):+.4f}  "
-                f"reward/step {float(metrics['reward_per_step']):+.4f}  "
-                f"ep_return {float(metrics['ep_return_mean']):+.3f}  "
-                f"entropy {float(metrics['entropy']):.3f}  "
-                f"env-steps/s {sps:,.0f}"
-            )
+        jax.block_until_ready(stacked["loss"])
+        sps = steps_per_iter * (it + n - it0) / (time.perf_counter() - t0)
+        for j in range(n):
+            metrics = {k: v[j] for k, v in stacked.items()}
+            row = {k: metrics[k] for k in LOG_KEYS}
+            row["env_steps_per_sec"] = sps
+            if extra_metrics is not None:
+                row.update(extra_metrics(metrics))
+            logger.log(it + j, row)
+            if (it + j) % 10 == 0 or it + j == it_end - 1:
+                tag = f"[{label}] " if label else ""
+                print(
+                    f"{tag}iter {it + j:4d}  "
+                    f"loss {float(metrics['loss']):+.4f}  "
+                    f"reward/step {float(metrics['reward_per_step']):+.4f}  "
+                    f"ep_return {float(metrics['ep_return_mean']):+.3f}  "
+                    f"entropy {float(metrics['entropy']):.3f}  "
+                    f"env-steps/s {sps:,.0f}"
+                )
+        it += n
     logger.close()
     tb = " + tensorboard)" if logger.has_tensorboard else ")"
     print(f"metrics logged to {logger.logdir} (csv{tb}")

@@ -33,6 +33,13 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--out", default="out")
+    p.add_argument(
+        "--iters-per-call",
+        type=int,
+        default=1,
+        help="PPO iterations scanned per jitted dispatch; >1 amortizes "
+        "the remote TPU dispatch latency (pick a divisor of --iters)",
+    )
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
@@ -87,6 +94,7 @@ def main() -> None:
         log_subdir=args.family,
         use_tensorboard=not args.no_tensorboard,
         label=args.family,
+        iters_per_call=args.iters_per_call,
     )
 
 

@@ -44,6 +44,13 @@ def main() -> None:
         "patrol/patrol_fight), one per red agent",
     )
     p.add_argument("--out", default="out")
+    p.add_argument(
+        "--iters-per-call",
+        type=int,
+        default=1,
+        help="PPO iterations scanned per jitted dispatch; >1 amortizes "
+        "the remote TPU dispatch latency (pick a divisor of --iters)",
+    )
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
     p.add_argument(
         "--no-pallas",
@@ -96,6 +103,7 @@ def main() -> None:
         out=args.out,
         model_name="ctf_ppo",
         use_tensorboard=not args.no_tensorboard,
+        iters_per_call=args.iters_per_call,
     )
 
     # Greedy rollout gif through the reference-compatible adapter.

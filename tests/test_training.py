@@ -205,3 +205,36 @@ def test_train_loop_resume_semantics(tmp_path):
     m2 = read_metrics_csv(os.path.join(out, "logs", "metrics.csv"))
     assert m2["step"] == [0.0]
     assert os.path.exists(os.path.join(out, "logs.old1", "metrics.csv"))
+
+
+def test_train_loop_iters_per_call_equivalence(tmp_path):
+    """Scanning K iterations per jitted dispatch must be bit-identical to
+    K single-iteration dispatches: same RNG threading, same final params,
+    same per-iteration metric rows on the same step axis."""
+    from gym_multigrid_tpu.rl.trainer import train_loop
+    from gym_multigrid_tpu.utils.logging import read_metrics_csv
+
+    cfg = CollectConfig(layout="quadrants", max_steps=10)
+    env = make_collect_batch(cfg, 8)
+    net = ActorCritic(num_actions=4, num_agents=2, hidden=(16, 16))
+    ppo_cfg = PPOConfig(rollout_len=4, num_minibatches=1)
+
+    out1, out3 = str(tmp_path / "one"), str(tmp_path / "three")
+    p1, _, _, _, m1 = train_loop(
+        env, net, ppo_cfg, iters=5, out=out1, model_name="m",
+        use_tensorboard=False,
+    )
+    # 5 iters at 3/call = one chunk of 3 + a trailing partial chunk of 2.
+    p3, _, _, _, m3 = train_loop(
+        env, net, ppo_cfg, iters=5, out=out3, model_name="m",
+        use_tensorboard=False, iters_per_call=3,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p3)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1["loss"]) == float(m3["loss"])
+    r1 = read_metrics_csv(os.path.join(out1, "logs", "metrics.csv"))
+    r3 = read_metrics_csv(os.path.join(out3, "logs", "metrics.csv"))
+    assert r1["step"] == r3["step"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert r1["loss"] == pytest.approx(r3["loss"], abs=0)
