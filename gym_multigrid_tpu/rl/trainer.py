@@ -149,16 +149,19 @@ def train_loop(
         return chunk_fns[n](params, opt_state, states, key)
 
     steps_per_iter = env.num_envs * ppo_cfg.rollout_len
-    t0 = time.perf_counter()
     metrics = {}
     it, it_end = it0, it0 + iters
     while it < it_end:
         n = min(max(1, iters_per_call), it_end - it)
+        t0 = time.perf_counter()
         params, opt_state, states, key, stacked = run_chunk(
             params, opt_state, states, key, n
         )
         jax.block_until_ready(stacked["loss"])
-        sps = steps_per_iter * (it + n - it0) / (time.perf_counter() - t0)
+        # Per-dispatch throughput: the first chunk's number includes its
+        # compile (cold chunks are obvious in the log); later chunks show
+        # sustained training speed.
+        sps = steps_per_iter * n / (time.perf_counter() - t0)
         for j in range(n):
             metrics = {k: v[j] for k, v in stacked.items()}
             row = {k: metrics[k] for k in LOG_KEYS}
