@@ -48,13 +48,14 @@ BASELINES = {
     "wildfire": 10_000_000.0,  # north-star target, no reference code exists
 }
 
-# Fastest measured (family, path) chunk sizes (scripts/sweep_paths.py,
-# v5e @ batch 8192).  The XLA multi-step paths take deep unrolls; the
-# kernels are capped by scoped VMEM, which grows with unroll length
-# (~16 MB limit — collect chunk 50 needs 26 MB), so they keep the
-# shallower chunks they were tuned at.
+# Fastest measured (family, path) chunk sizes (interleaved A/B sweeps on
+# the real chip, v5e @ batch 8192).  The XLA multi-step paths take deep
+# unrolls — maze keeps gaining through 200+ steps/launch (single agent,
+# tiny program), ctf peaks at 50 (code size bites at 100: 201M vs 324M),
+# wildfire at 8.  The kernels are capped by scoped VMEM, which grows
+# with unroll length (~16 MB limit), so they keep shallower chunks.
 MS_CHUNKS = {
-    "xla-ms": {"collect": 50, "ctf": 50, "maze": 50, "wildfire": 8},
+    "xla-ms": {"collect": 50, "ctf": 50, "maze": 200, "wildfire": 8},
     "pallas-ms": {"collect": 15, "ctf": 25, "maze": 25, "wildfire": 8},
 }
 
@@ -184,7 +185,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--families", default="collect,ctf,maze,wildfire")
     p.add_argument("--batch", type=int, default=8192)
-    p.add_argument("--steps", type=int, default=100)
+    # 200 steps per run call: long enough that dispatch rides behind the
+    # device (and maze's 200-step unroll fits one launch), short enough
+    # that one --all-paths sweep stays under ~10 min warm.
+    p.add_argument("--steps", type=int, default=200)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument(
         "--all-paths",
