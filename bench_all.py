@@ -11,12 +11,9 @@ Paths (scripts/sweep_paths.py is the dev tool that picked the headlines):
 
 - "xla-ms"      K env steps per launch as one plain-XLA program with bulk
                 pre-drawn randomness and fused auto-reset (the multi-step
-                kernels' math via use_kernel=False).  Headline for
-                Collect / CtF / Maze.
+                kernels' math via use_kernel=False).  Headline for every
+                family at the 200-step default windows.
 - "xla-step"    per-step slab math under BatchedEnv.rollout's lax.scan.
-                Headline for Wildfire (its stencil pipelines better with
-                per-step cond-gated resets than with the unrolled
-                episode math).
 - "pallas-ms"   the fused multi-step Pallas episode kernels (TPU only).
 
 vs_baseline divides by the reference's measured single-core throughput
@@ -64,7 +61,7 @@ HEADLINE = {
     "collect": "xla-ms",
     "ctf": "xla-ms",
     "maze": "xla-ms",
-    "wildfire": "xla-step",
+    "wildfire": "xla-ms",
 }
 ALT_PATHS = ("xla-step", "xla-ms", "pallas-ms")
 
@@ -159,6 +156,16 @@ def _make_runner(family: str, batch: int, steps: int, path: str):
     return init, jax.jit(lambda s, k: env.rollout(s, k, steps)), agents
 
 
+def align_steps(family: str, steps: int) -> int:
+    """Collect's episode rollout needs `steps` to be a multiple of its
+    fixed episode length (lockstep truncation); other families take any
+    step count."""
+    if family != "collect":
+        return steps
+    ms = _family_cfg(family)[0].max_steps
+    return max(ms, (steps // ms) * ms)
+
+
 def measure(family: str, batch: int, steps: int, reps: int, path: str):
     made = _make_runner(family, batch, steps, path)
     if made is None:
@@ -205,10 +212,7 @@ def main(argv=None):
     on_tpu = jax.default_backend() not in ("cpu",)
     lines = []
     for family in args.families.split(","):
-        # Collect's episode rollouts need episode-aligned steps.
-        steps = args.steps
-        if family == "collect" and steps % 50 != 0:
-            steps = max(50, (steps // 50) * 50)
+        steps = align_steps(family, args.steps)
         headline = HEADLINE[family] if on_tpu else "xla-step"
         paths = [headline]
         if args.all_paths:

@@ -187,10 +187,14 @@ def main() -> None:
     init_fn, train_step = make_ppo(
         env, net, PPOConfig(rollout_len=32, num_minibatches=4)
     )
+    # make_ppo returns a pure function — jit it yourself (donation lets
+    # XLA update the optimizer state in place).  The shared trainer
+    # (rl/trainer.py train_loop) does this, plus logging/resume, for you.
+    step = jax.jit(train_step, donate_argnums=(1, 2))
     params, opt_state, carry = init_fn(jax.random.PRNGKey(2))
     key = jax.random.PRNGKey(3)
-    for it in range(30):
-        params, opt_state, carry, key, m = train_step(
+    for it in range(60):
+        params, opt_state, carry, key, m = step(
             params, opt_state, carry, key
         )
         if it % 10 == 9:
@@ -198,7 +202,7 @@ def main() -> None:
             print(f"iter {it + 1:3d}  ep_return {ep:+.3f}")
     final_ret = float(m["ep_return_mean"])
     print(
-        f"PPO after 30 iters: {final_ret:+.3f} "
+        f"PPO after 60 iters: {final_ret:+.3f} "
         f"(random baseline {random_ret:+.3f})"
     )
 

@@ -51,10 +51,12 @@ def main() -> None:
         rsteps = steps
     axes[0].plot(rsteps, ret, alpha=0.25, color="C0")
     axes[0].plot(rsteps, smooth(ret), color="C0")
-    axes[0].axhline(
-        np.nanmean(ret[1:10]), ls="--", c="grey", lw=1,
-        label="random-policy start",
-    )
+    if len(ret) > 1:  # short runs may have no completed-episode rows yet
+        axes[0].axhline(
+            np.nanmean(ret[1:10]), ls="--", c="grey", lw=1,
+            label="random-policy start",
+        )
+        axes[0].legend(loc="lower right", fontsize=8)
     # Title from the logdir's family name (logs/<family>); the CtF
     # artifact predates generic training and logs under logs/ directly.
     family = os.path.basename(os.path.normpath(logdir))
@@ -64,7 +66,6 @@ def main() -> None:
     }.get(family, family)
     axes[0].set_title(f"mean episode return ({label})")
     axes[0].set_xlabel("PPO iteration")
-    axes[0].legend(loc="lower right", fontsize=8)
     axes[1].plot(steps, m["reward_per_step"], alpha=0.25, color="C1")
     axes[1].plot(steps, smooth(m["reward_per_step"]), color="C1")
     axes[1].set_title("reward per env-step")

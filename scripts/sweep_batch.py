@@ -21,20 +21,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
-
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
-import bench_all  # noqa: E402
+import bench_all  # noqa: E402  (its import configures the compile cache)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--families", default="collect,ctf")
     p.add_argument("--batches", default="1024,4096,16384,65536")
-    p.add_argument("--steps", type=int, default=100)
+    # Match bench_all's default window so each (family, batch) point runs
+    # the same tuned program (maze's xla-ms chunk is 200).
+    p.add_argument("--steps", type=int, default=200)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -43,9 +39,7 @@ def main(argv=None):
     on_tpu = jax.default_backend() not in ("cpu",)
     path = "xla-ms" if on_tpu else "xla-step"
     for family in args.families.split(","):
-        steps = args.steps
-        if family == "collect" and steps % 50 != 0:
-            steps = max(50, (steps // 50) * 50)
+        steps = bench_all.align_steps(family, args.steps)
         for batch in (int(b) for b in args.batches.split(",")):
             aps = bench_all.measure(family, batch, steps, args.reps, path)
             if aps is None:
