@@ -49,6 +49,13 @@ def parse_args(argv=None):
         default=None,
         help="comma-separated device counts to measure (default: 1,2,4,..,N)",
     )
+    p.add_argument(
+        "--path",
+        default="auto",
+        choices=["auto", "xla-step", "xla-ms"],
+        help="rollout program per shard: per-step slab or the deep-unroll "
+        "episode math (auto = the backend's headline path)",
+    )
     p.add_argument("--json-only", action="store_true")
     p.add_argument(
         "--platform",
@@ -72,55 +79,13 @@ def _device_points(n: int, spec: str | None):
 
 
 def build_env(family: str, num_envs: int, use_pallas: bool):
-    """(BatchedEnv, agents_per_env) for one family's benchmark config."""
-    if family == "collect":
-        from gym_multigrid_tpu.envs.collect import CollectConfig
-        from gym_multigrid_tpu.parallel.vector import make_collect_batch
+    """(BatchedEnv, cfg, agents_per_env) — the same per-family benchmark
+    config as bench_all.py (one source of truth for what 'the benchmark
+    config' means)."""
+    import bench_all
 
-        cfg = CollectConfig(
-            layout="quadrants_respawn", respawn=True, max_steps=50
-        )
-        return (
-            make_collect_batch(cfg, num_envs, use_pallas=use_pallas),
-            cfg.num_agents,
-        )
-    if family == "ctf":
-        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-        from gym_multigrid_tpu.parallel.vector import make_ctf_batch
-
-        cfg = CtfConfig.from_map_path(
-            os.path.join(os.path.dirname(__file__), "tests/assets/board.txt"),
-            num_blue_agents=2,
-            num_red_agents=2,
-            variant="mvn",
-            enemy_policies=(PolicySpec("fight"), PolicySpec("rw")),
-            observation_option="flattened",
-        )
-        return (
-            make_ctf_batch(cfg, num_envs, use_pallas=use_pallas),
-            cfg.num_agents,
-        )
-    if family == "maze":
-        from gym_multigrid_tpu.envs.maze import MazeConfig
-        from gym_multigrid_tpu.parallel.vector import make_maze_batch
-
-        cfg = MazeConfig.from_map_path(
-            os.path.join(
-                os.path.dirname(__file__), "tests/assets/board_maze.txt"
-            ),
-            max_steps=100,
-        )
-        return make_maze_batch(cfg, num_envs, use_pallas=use_pallas), 1
-    if family == "wildfire":
-        from gym_multigrid_tpu.envs.wildfire import WildfireConfig
-        from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
-
-        cfg = WildfireConfig(size=16, max_steps=100)
-        return (
-            make_wildfire_batch(cfg, num_envs, use_pallas=use_pallas),
-            cfg.num_agents,
-        )
-    raise ValueError(family)
+    cfg, make_batch, agents = bench_all._family_cfg(family)
+    return make_batch(cfg, num_envs, use_pallas=use_pallas), cfg, agents
 
 
 def measure_point(
@@ -130,20 +95,30 @@ def measure_point(
     steps: int,
     reps: int,
     use_pallas: bool,
+    path: str = "xla-step",
 ):
     """Per-chip agent-steps/s for one mesh size at fixed per-device batch."""
     import jax
 
     from gym_multigrid_tpu.parallel.mesh import make_mesh, shard_batch_tree
-    from gym_multigrid_tpu.parallel.shard import sharded_rollout
+    from gym_multigrid_tpu.parallel.shard import (
+        sharded_episode_rollout,
+        sharded_rollout,
+    )
 
     num_envs = per_device_envs * n_devices
-    env, agents = build_env(family, num_envs, use_pallas)
+    env, cfg, agents = build_env(family, num_envs, use_pallas)
     mesh = make_mesh(n_devices, model_parallel=1)
 
     states, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
     states = shard_batch_tree(states, mesh)
-    rollout = sharded_rollout(env, mesh)
+    if path == "xla-ms":
+        import bench_all
+
+        ro = bench_all._episode_rollout(family, cfg, use_kernel=False)
+        rollout = sharded_episode_rollout(ro, mesh)
+    else:
+        rollout = sharded_rollout(env, mesh)
     run = jax.jit(lambda s, k: rollout(s, k, steps))
 
     states, metrics = run(states, jax.random.PRNGKey(1))  # compile + warm
@@ -171,12 +146,19 @@ def run_weak_scaling(
     reps: int = 4,
     points: list[int] | None = None,
     verbose: bool = True,
+    path: str = "auto",
 ):
     """Measure each device count; return (results_by_n, efficiency@max)."""
+    import bench_all
     import jax
 
     backend = jax.default_backend()
     use_pallas = backend not in ("cpu",)
+    if path == "auto":
+        # The per-backend headline path: deep-unroll episode math on TPU,
+        # per-step slab on the CPU mesh (matches bench_all's HEADLINE).
+        path = "xla-ms" if use_pallas else "xla-step"
+    steps = bench_all.align_steps(family, steps)
     pts = points or _device_points(devices, None)
     assert max(pts) <= len(jax.devices()), (
         f"need {max(pts)} devices, have {len(jax.devices())} ({backend})"
@@ -185,7 +167,7 @@ def run_weak_scaling(
     results = {}
     for n in pts:
         r = measure_point(
-            family, n, per_device_envs, steps, reps, use_pallas
+            family, n, per_device_envs, steps, reps, use_pallas, path
         )
         r["efficiency"] = r["per_chip"] / results[pts[0]]["per_chip"] if results else 1.0
         results[n] = r
@@ -240,6 +222,7 @@ def main(argv=None):
         per_device_envs=args.per_device_envs,
         steps=args.steps,
         reps=args.reps,
+        path=args.path,
         points=_device_points(args.devices, args.points),
         verbose=not args.json_only,
     )

@@ -80,3 +80,48 @@ def sharded_rollout(
         return states, dict(metrics, run_return=run_return)
 
     return rollout_fn
+
+
+def sharded_episode_rollout(
+    rollout_fn: Callable, mesh: Mesh, axis: str = "data"
+) -> Callable:
+    """shard_map wrapper for the multi-step episode rollouts
+    (``ops/pallas_*.make_*_episode_rollout``).
+
+    ``rollout_fn(states, key, num_steps) -> (states', metrics)`` is
+    shape-polymorphic in the batch dim, so each shard runs it on its
+    slice of the batch-sharded ``states`` with an independent fold_in
+    RNG stream; scalar metrics psum across shards (identical on every
+    shard), per-env leaves (``run_return``) stay shard-local.  This is
+    the pod configuration of the headline xla-ms paths: deep-unroll
+    episode math per chip, only the metric reductions on the
+    interconnect.
+    """
+
+    def wrapped(states, key, num_steps: int):
+        # Metric pytree structure (for out_specs) without running anything.
+        _, m_shapes = jax.eval_shape(
+            lambda s, k: rollout_fn(s, k, num_steps), states, key
+        )
+        m_spec = jax.tree_util.tree_map(
+            lambda v: P() if v.ndim == 0 else P(axis), m_shapes
+        )
+
+        def body(s, k):
+            k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            s, m = rollout_fn(s, k, num_steps)
+            m = jax.tree_util.tree_map(
+                lambda v: jax.lax.psum(v, axis) if v.ndim == 0 else v, m
+            )
+            return s, m
+
+        state_spec = jax.tree_util.tree_map(lambda _: P(axis), states)
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(state_spec, P()),
+            out_specs=(state_spec, m_spec),
+            check_vma=False,
+        )(states, key)
+
+    return wrapped

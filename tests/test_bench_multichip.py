@@ -28,7 +28,53 @@ def test_weak_scaling_instrument_runs_on_mesh():
 
 @pytest.mark.parametrize("family", ["collect", "ctf", "maze", "wildfire"])
 def test_build_env_every_family(family):
-    env, agents = build_env(family, num_envs=4, use_pallas=False)
+    env, cfg, agents = build_env(family, num_envs=4, use_pallas=False)
     states, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
     assert jax.tree_util.tree_leaves(states)[0].shape[0] == 4
     assert agents >= 1
+
+
+def test_weak_scaling_xla_ms_path_on_mesh():
+    # The headline deep-unroll episode math, sharded per device — the pod
+    # configuration of the xla-ms paths (sharded_episode_rollout).
+    # Wildfire's shallow 8-step chunk keeps the CPU compile cheap.
+    results, eff = run_weak_scaling(
+        family="wildfire",
+        per_device_envs=16,
+        steps=8,
+        reps=1,
+        points=[1, 2],
+        verbose=False,
+        path="xla-ms",
+    )
+    assert results[2]["envs"] == 32 and eff > 0
+
+
+def test_sharded_episode_rollout_metrics_replicated():
+    # Scalar metrics psum to identical values on every shard; per-env
+    # leaves stay batch-sharded; same key => same result (determinism).
+    import numpy as np
+
+    from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+    from gym_multigrid_tpu.ops.pallas_wildfire import (
+        make_wildfire_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.mesh import make_mesh, shard_batch_tree
+    from gym_multigrid_tpu.parallel.shard import sharded_episode_rollout
+    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+    cfg = WildfireConfig(size=8, max_steps=6)
+    env = make_wildfire_batch(cfg, 32)
+    states, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    mesh = make_mesh(4, model_parallel=1)
+    states = shard_batch_tree(states, mesh)
+    ro = make_wildfire_episode_rollout(cfg, chunk=3, use_kernel=False)
+    sharded = sharded_episode_rollout(ro, mesh)
+    run = jax.jit(lambda s, k: sharded(s, k, 6))
+    s1, m1 = run(states, jax.random.PRNGKey(1))
+    s2, m2 = run(states, jax.random.PRNGKey(1))
+    assert m1["reward_sum"].shape == ()
+    assert m1["run_return"].shape[0] == 32
+    assert np.isfinite(float(m1["reward_sum"]))
+    assert float(m1["reward_sum"]) == float(m2["reward_sum"])
+    assert int(m1["episodes"]) > 0
