@@ -30,10 +30,19 @@ import numpy as np  # noqa: E402
 
 
 def check_family(family: str, batch: int, steps: int, seed: int) -> dict:
+    import warnings
+
     cfg, make_batch, agents = bench_all._family_cfg(family)
-    env_k = make_batch(cfg, batch, use_pallas=True)
+    # Out-of-envelope configs either return step_batch=None (collect/ctf
+    # style) or warn and silently hand back the XLA slab path
+    # (maze/wildfire style) — both must SKIP, not record a vacuous
+    # XLA-vs-XLA "parity" pass.
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        env_k = make_batch(cfg, batch, use_pallas=True)
+    fell_back = any("fall" in str(w.message).lower() for w in caught)
     env_x = make_batch(cfg, batch, use_pallas=False)
-    if env_k.step_batch is None:
+    if env_k.step_batch is None or fell_back:
         return {"family": family, "skipped": "no kernel for this config"}
 
     step_k = jax.jit(env_k.step)

@@ -53,7 +53,7 @@ def main() -> None:
         trace,
     )
 
-    env, agents = build_env(args.family, args.batch, args.pallas)
+    env, _cfg, agents = build_env(args.family, args.batch, args.pallas)
     init = jax.jit(lambda k: env.reset(k)[0])
     run = jax.jit(lambda s, k: env.rollout(s, k, args.steps))
 
