@@ -34,6 +34,12 @@ def main() -> None:
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--out", default="out")
     p.add_argument(
+        "--opponents",
+        default="rw,rw",
+        help="ctf only: comma list of red PolicySpec kinds "
+        "(rw/fight/capture/patrol/patrol_fight/destination)",
+    )
+    p.add_argument(
         "--iters-per-call",
         type=int,
         default=1,
@@ -70,6 +76,7 @@ def main() -> None:
         args.family,
         args.envs,
         args.pallas,
+        opponents=tuple(args.opponents.split(",")),
         burn_penalty=args.burn_penalty,
         wf_size=args.wf_size,
         wf_fires=args.wf_fires,
