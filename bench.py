@@ -50,10 +50,10 @@ def main():
         # Fastest measured path (bench_all.py --all-paths, v5e @ 8192):
         # the whole-episode multi-step math as plain XLA — 50 env steps
         # per launch with bulk pre-drawn randomness, episode reset fused
-        # in (113.7M agent-steps/s vs 66.4M for the fused Pallas episode
-        # kernel and 66.8M for the per-step slab rollout under identical
+        # in (190.3M agent-steps/s vs 87.7M for the fused Pallas episode
+        # kernel and 86.6M for the per-step slab rollout under identical
         # settings; this harness's longer timed windows amortize launch
-        # dispatch further).
+        # dispatch further, measuring ~249M).
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )
