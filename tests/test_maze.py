@@ -127,3 +127,57 @@ def test_maze_obs_matches_reference(option):
         )
     for k, v in ref_info.items():
         assert float(info[k]) == pytest.approx(v), k
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "option,penalty", [("map", 0.0), ("positional", 0.0), ("map", 0.5)]
+)
+def test_maze_deterministic_trajectory_matches_reference(option, penalty):
+    """Whole-trajectory differential: maze is fully deterministic given
+    the action, so random action scripts from the reference's own spawn
+    must reproduce obs/reward/termination/info step for step (blocked
+    moves, obstacle penalties, and the terminal flag/obstacle step
+    included)."""
+    from gym_multigrid.envs.maze import MazeSingleAgentEnv as RefEnv
+
+    ref_env = RefEnv(
+        map_path=MAP_PATH,
+        observation_option=option,
+        obstacle_penalty_ratio=penalty,
+    )
+    np.random.seed(7)
+    ref_env.reset()
+    start = [int(ref_env.agents[0].pos[0]), int(ref_env.agents[0].pos[1])]
+
+    cfg = MazeConfig.from_map_path(
+        MAP_PATH,
+        observation_option=option,
+        obstacle_penalty_ratio=penalty,
+    )
+    fns = make_maze(cfg)
+    st = _state(start)
+
+    rng = np.random.RandomState(13)
+    for t in range(60):
+        a = int(rng.randint(0, 5))
+        ref_obs, ref_rew, ref_term, ref_trunc, ref_info = ref_env.step(a)
+        st, obs, rew, term, trunc, info = fns.step_fn(st, jnp.int32(a))
+        if option == "positional":
+            for k in ref_obs:
+                np.testing.assert_array_equal(
+                    np.asarray(obs[k]), np.asarray(ref_obs[k]),
+                    err_msg=f"step {t} obs[{k}]",
+                )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(obs, dtype=np.float64), np.asarray(ref_obs),
+                err_msg=f"step {t}",
+            )
+        assert float(rew) == pytest.approx(float(ref_rew)), f"step {t}"
+        assert bool(term) == bool(ref_term), f"step {t}"
+        assert bool(trunc) == bool(ref_trunc), f"step {t}"
+        for k, v in ref_info.items():
+            assert float(info[k]) == pytest.approx(v), f"step {t} info {k}"
+        if ref_term or ref_trunc:
+            break
