@@ -56,3 +56,39 @@ def test_vector_env_seed_determinism():
     o1, _ = v1.reset(seed=9)
     o2, _ = v2.reset(seed=9)
     np.testing.assert_array_equal(o1, o2)
+
+
+@pytest.mark.parametrize(
+    "env_id",
+    [
+        "multigrid-collect-quadrants-v0",
+        "multigrid-collect-respawn-clustered-v0",
+        "multigrid-wildfire-v0",
+    ],
+)
+def test_gymnasium_check_env_compliance(env_id):
+    """Gymnasium's official env checker passes on the registered ids.
+
+    The one expected warning is the reward type: the reference API
+    returns a per-agent reward NDArray from step() (collect_game.py:
+    183-214), which we deliberately keep (PARITY.md) even though the
+    checker prefers scalars — filter it, fail on anything else."""
+    import warnings
+
+    import gymnasium as gym
+    from gymnasium.utils.env_checker import check_env
+
+    import gym_multigrid_tpu
+
+    gym_multigrid_tpu.register_envs()
+    env = gym.make(env_id).unwrapped
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        check_env(env, skip_render_check=True)
+    unexpected = [
+        str(w.message)
+        for w in caught
+        if "reward returned by `step()`" not in str(w.message)
+        and "Overriding environment" not in str(w.message)
+    ]
+    assert not unexpected, unexpected
