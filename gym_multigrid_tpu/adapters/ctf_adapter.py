@@ -117,6 +117,21 @@ class _CtfBase(gym.Env):
         if not isinstance(enemy_policies, list):
             enemy_policies = [enemy_policies for _ in range(num_red_agents)]
         assert len(enemy_policies) == num_red_agents
+        # PolicySpec entries (the functional core's policy currency) are
+        # accepted alongside the heuristic class instances: convert to
+        # the matching class so both the in-graph detection and the
+        # host-fallback .act path work.
+        kind_classes = {v: k for k, v in _POLICY_KINDS.items()}
+        enemy_policies = [
+            (
+                kind_classes[p.kind]()
+                if p.kind == "rw"
+                else kind_classes[p.kind](randomness=p.randomness)
+            )
+            if isinstance(p, PolicySpec)
+            else p
+            for p in enemy_policies
+        ]
         for policy in enemy_policies:
             if getattr(policy, "field_map", "missing") is None:
                 policy.field_map = self._field_map

@@ -86,6 +86,13 @@ class WildfireEnv(gym.Env):
         actions = np.asarray(
             np.round(np.asarray(actions, dtype=float)), dtype=np.int32
         ).reshape(-1)
+        if actions.size != self.cfg.num_agents:
+            # Without this, a wrong-length action vector dies much later
+            # as an opaque reshape error inside the jitted core.
+            raise ValueError(
+                f"expected {self.cfg.num_agents} actions (one per agent, "
+                f"action_space {self.action_space}), got {actions.size}"
+            )
         self._state, obs, rewards, terminated, truncated, info = self._fns.step_fn(
             self._state, actions
         )

@@ -89,6 +89,21 @@ class PolicySpec:
     kind: Literal["rw", "fight", "capture", "patrol", "patrol_fight"] = "rw"
     randomness: float = 0.75
 
+    def __post_init__(self):
+        kinds = ("rw", "fight", "capture", "patrol", "patrol_fight")
+        if self.kind not in kinds:
+            # Without this, an unknown kind surfaces much later as a
+            # NameError inside the traced policy body.
+            raise ValueError(
+                f"unknown scripted-policy kind {self.kind!r}; "
+                f"expected one of {kinds} (custom policies: pass a "
+                "BaseAgentPolicy subclass to the adapter instead)"
+            )
+        if not 0.0 <= self.randomness <= 1.0:
+            raise ValueError(
+                f"randomness must be in [0, 1], got {self.randomness}"
+            )
+
 
 @dataclass(frozen=True)
 class CtfConfig:

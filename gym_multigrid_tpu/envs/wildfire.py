@@ -88,6 +88,22 @@ class WildfireConfig:
     step_penalty: float = 0.0
     max_steps: int = 100
 
+    def __post_init__(self):
+        # Early, readable errors — downstream the zero-agent case dies as
+        # "Need at least one array to concatenate" inside reset tracing.
+        if self.num_agents < 1:
+            raise ValueError(f"num_agents must be >= 1, got {self.num_agents}")
+        if self.size < 3:
+            raise ValueError(f"size must be >= 3, got {self.size}")
+        if self.num_initial_fires < 1:
+            raise ValueError(
+                f"num_initial_fires must be >= 1, got {self.num_initial_fires}"
+            )
+        for name in ("tree_density", "p_spread", "p_burnout"):
+            v = getattr(self, name)
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"{name} must be in [0, 1], got {v}")
+
     @property
     def width(self) -> int:
         return self.size

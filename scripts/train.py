@@ -37,7 +37,7 @@ def main() -> None:
         "--opponents",
         default="rw,rw",
         help="ctf only: comma list of red PolicySpec kinds "
-        "(rw/fight/capture/patrol/patrol_fight/destination)",
+        "(rw/fight/capture/patrol/patrol_fight)",
     )
     p.add_argument(
         "--iters-per-call",

@@ -420,3 +420,36 @@ def test_spaces_match_reference():
         assert env.observation_space.shape == ref_env.observation_space.shape
         assert env.observation_space.dtype == ref_env.observation_space.dtype
         assert env.action_space == ref_env.action_space
+
+
+def test_policy_spec_validation_errors_early():
+    # An unknown kind used to surface as a NameError inside the traced
+    # policy body on the first step; now it fails at construction.
+    from gym_multigrid_tpu.envs.ctf import PolicySpec
+
+    with pytest.raises(ValueError, match="unknown scripted-policy kind"):
+        PolicySpec("bogus")
+    with pytest.raises(ValueError, match="randomness"):
+        PolicySpec("rw", randomness=-0.1)
+    PolicySpec("patrol_fight")  # all real kinds still construct
+
+
+def test_adapter_accepts_policy_spec_enemies():
+    # PolicySpec (the functional core's policy currency) converts to the
+    # matching heuristic class inside the adapter — and still compiles
+    # the scripted reds in-graph.
+    from gym_multigrid_tpu.envs import CtFMvNEnv
+    from gym_multigrid_tpu.envs.ctf import PolicySpec
+
+    env = CtFMvNEnv(
+        num_blue_agents=2,
+        num_red_agents=2,
+        map_path=MAP_PATH,
+        observation_option="flattened",
+        enemy_policies=[PolicySpec("fight"), PolicySpec("patrol")],
+    )
+    env.reset(seed=0)
+    assert env._in_graph
+    for _ in range(5):
+        obs, rew, term, trunc, info = env.step([1, 2])
+    assert np.isfinite(float(np.asarray(rew).sum()))

@@ -108,3 +108,31 @@ def test_agents_block_each_other():
     st = _state(np.zeros((4, 4), dtype=int), [[1, 1], [2, 1]])
     st2, *_ = fns.step_fn(st, jnp.asarray([3, 0]))  # agent0 right into agent1
     np.testing.assert_array_equal(np.asarray(st2.pos if hasattr(st2,'pos') else st2.agent_pos)[0], [1, 1])
+
+
+def test_config_validation_errors_early():
+    # Bad configs must fail at construction with a readable message, not
+    # deep inside tracing ("Need at least one array to concatenate").
+    import pytest
+
+    from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+
+    with pytest.raises(ValueError, match="num_agents"):
+        WildfireConfig(num_agents=0)
+    with pytest.raises(ValueError, match="p_spread"):
+        WildfireConfig(p_spread=2.0)
+    with pytest.raises(ValueError, match="num_initial_fires"):
+        WildfireConfig(num_initial_fires=0)
+
+
+def test_adapter_rejects_wrong_action_count():
+    import gymnasium as gym
+    import pytest
+
+    import gym_multigrid_tpu
+
+    gym_multigrid_tpu.register_envs()
+    env = gym.make("multigrid-wildfire-v0").unwrapped
+    env.reset(seed=0)
+    with pytest.raises(ValueError, match="expected 2 actions"):
+        env.step([1, 2, 3, 4])
