@@ -78,6 +78,30 @@ class CollectConfig:
     layout: Layout = "even"
     fixed_horizon: bool = False  # CollectGameRoomsFixedHorizon (collect_game.py:364-370)
 
+    def __post_init__(self):
+        # Early, readable errors; impossible placements would otherwise
+        # surface as degenerate masked picks deep inside reset tracing.
+        # (num_balls % num_ball_types floors silently, like the
+        # reference's num_balls_per_type division, collect_game.py:264.)
+        if self.size < 4:
+            raise ValueError(
+                f"size must be >= 4 (walled perimeter + interior), "
+                f"got {self.size}"
+            )
+        if len(self.agents_index) < 1:
+            raise ValueError("agents_index must name at least one agent")
+        if len(self.balls_index) < 1:
+            raise ValueError("balls_index must name at least one ball type")
+        if self.max_steps < 1:
+            raise ValueError(f"max_steps must be >= 1, got {self.max_steps}")
+        interior = (self.size - 2) * (self.size - 2)
+        if self.num_balls + len(self.agents_index) > interior:
+            raise ValueError(
+                f"{self.num_balls} balls + {len(self.agents_index)} agents "
+                f"cannot fit the {interior}-cell interior of a "
+                f"{self.size}x{self.size} board"
+            )
+
     @property
     def width(self) -> int:
         return self.size

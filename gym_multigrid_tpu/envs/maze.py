@@ -55,6 +55,17 @@ class MazeConfig:
     step_penalty_ratio: float = 0.01
     observation_option: Literal["positional", "map"] = "map"
 
+    def __post_init__(self):
+        if self.observation_option not in ("positional", "map"):
+            # An unknown option would silently fall through to the
+            # positional branch (obs_fn selection is a ternary).
+            raise ValueError(
+                f"observation_option must be 'positional' or 'map', "
+                f"got {self.observation_option!r}"
+            )
+        if self.max_steps < 1:
+            raise ValueError(f"max_steps must be >= 1, got {self.max_steps}")
+
     @classmethod
     def from_map_path(cls, map_path: str, **kwargs) -> "MazeConfig":
         from gym_multigrid_tpu.utils.map import load_text_map

@@ -269,3 +269,17 @@ def test_per_ball_instance_rewards() -> None:
     sr2, _, nb2 = reward_slot_tables(cfg2, build_plan(cfg2))
     np.testing.assert_allclose(sr2[:nb2], 1.0)
     np.testing.assert_allclose(sr2[nb2 : nb2 + 3], 2.0)
+
+
+def test_config_validation_errors_early():
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+
+    with pytest.raises(ValueError, match="size"):
+        CollectConfig(size=2)
+    with pytest.raises(ValueError, match="agents_index"):
+        CollectConfig(agents_index=())
+    with pytest.raises(ValueError, match="cannot fit"):
+        CollectConfig(num_balls=300)
+    with pytest.raises(ValueError, match="max_steps"):
+        CollectConfig(max_steps=0)
+    CollectConfig()  # defaults still construct

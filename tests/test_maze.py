@@ -181,3 +181,10 @@ def test_maze_deterministic_trajectory_matches_reference(option, penalty):
             assert float(info[k]) == pytest.approx(v), f"step {t} info {k}"
         if ref_term or ref_trunc:
             break
+
+
+def test_config_validation_errors_early():
+    with pytest.raises(ValueError, match="observation_option"):
+        MazeConfig.from_map_path(MAP_PATH, observation_option="bogus")
+    with pytest.raises(ValueError, match="max_steps"):
+        MazeConfig.from_map_path(MAP_PATH, max_steps=0)
