@@ -129,6 +129,27 @@ class CtfConfig:
     observation_option: ObservationOption = "positional"
     observation_scaling: float = 1.0
 
+    def __post_init__(self):
+        if self.variant not in ("1v1", "mvn"):
+            raise ValueError(
+                f"variant must be '1v1' or 'mvn', got {self.variant!r}"
+            )
+        if self.num_blue_agents < 1 or self.num_red_agents < 1:
+            raise ValueError(
+                "need at least one agent per team, got "
+                f"{self.num_blue_agents} blue / {self.num_red_agents} red"
+            )
+        if self.variant == "1v1" and (
+            self.num_blue_agents != 1 or self.num_red_agents != 1
+        ):
+            raise ValueError(
+                "variant='1v1' requires exactly one agent per team "
+                f"(got {self.num_blue_agents}v{self.num_red_agents}); "
+                "use variant='mvn'"
+            )
+        if self.max_steps < 1:
+            raise ValueError(f"max_steps must be >= 1, got {self.max_steps}")
+
     @classmethod
     def from_map_path(cls, map_path: str, **kwargs) -> "CtfConfig":
         from gym_multigrid_tpu.utils.map import load_text_map

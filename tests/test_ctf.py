@@ -453,3 +453,18 @@ def test_adapter_accepts_policy_spec_enemies():
     for _ in range(5):
         obs, rew, term, trunc, info = env.step([1, 2])
     assert np.isfinite(float(np.asarray(rew).sum()))
+
+
+def test_ctf_config_validation_errors_early():
+    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+
+    mk = lambda **kw: CtfConfig.from_map_path(MAP_PATH, **kw)  # noqa: E731
+    with pytest.raises(ValueError, match="variant"):
+        mk(variant="bogus")
+    with pytest.raises(ValueError, match="at least one agent"):
+        mk(num_blue_agents=0, num_red_agents=1)
+    with pytest.raises(ValueError, match="exactly one agent"):
+        mk(variant="1v1", num_blue_agents=2, num_red_agents=2,
+           enemy_policies=(PolicySpec("rw"), PolicySpec("rw")))
+    with pytest.raises(ValueError, match="max_steps"):
+        mk(max_steps=0)
