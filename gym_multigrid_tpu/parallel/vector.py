@@ -59,6 +59,14 @@ class BatchedEnv:
         return states, obs
 
     def step(self, states, actions):
+        if actions.shape[:1] != (self.num_envs,):
+            # Caught at trace time; without it a wrong batch size dies as
+            # an opaque broadcast error inside the family math.
+            raise ValueError(
+                f"actions must be batched over {self.num_envs} envs "
+                f"(expected leading shape ({self.num_envs}, "
+                f"*{self.actions_shape}), got {actions.shape})"
+            )
         if self.step_batch is not None:
             new_states, obs, rewards, term, trunc, info = self.step_batch(
                 states, actions

@@ -195,3 +195,15 @@ def test_sharded_rollout_on_mesh():
     # State stays sharded across the mesh after the rollout.
     sh2 = jax.tree_util.tree_leaves(states2)[0].sharding
     assert not sh2.is_fully_replicated
+
+
+def test_batched_step_rejects_wrong_batch_size():
+    import pytest
+
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+    env = make_collect_batch(CollectConfig(layout="quadrants"), 4)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="batched over 4 envs"):
+        env.step(states, jnp.zeros((8, 2), jnp.int32))
