@@ -124,6 +124,8 @@ class _CtfBase(gym.Env):
         kind_classes = {v: k for k, v in _POLICY_KINDS.items()}
         enemy_policies = [
             (
+                # RwPolicy has no randomness (reference heuristic.py:40-72;
+                # the field is meaningless for uniform-random actions).
                 kind_classes[p.kind]()
                 if p.kind == "rw"
                 else kind_classes[p.kind](randomness=p.randomness)
@@ -144,10 +146,18 @@ class _CtfBase(gym.Env):
         self._in_graph = all(
             type(p) in _POLICY_KINDS for p in enemy_policies
         )
+
+        def _spec_randomness(p) -> float:
+            # Host-fallback custom policies may carry any `randomness`
+            # attribute; the placeholder spec built for them is never
+            # consumed in-graph, so sanitize rather than reject.
+            r = getattr(p, "randomness", 0.75)
+            return float(r) if isinstance(r, (int, float)) and 0 <= r <= 1 else 0.75
+
         specs = tuple(
             PolicySpec(
                 kind=_POLICY_KINDS.get(type(p), "rw"),
-                randomness=getattr(p, "randomness", 0.75),
+                randomness=_spec_randomness(p),
             )
             for p in enemy_policies
         )

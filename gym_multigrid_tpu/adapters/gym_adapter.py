@@ -146,6 +146,13 @@ class CollectGameEnv(gym.Env):
 
     def step(self, actions):
         actions = np.asarray(np.round(np.asarray(actions)), dtype=np.int32).reshape(-1)
+        if actions.size != len(self.agents):
+            # JAX's clamped indexing would otherwise silently ignore extra
+            # actions or replay the last one for missing agents.
+            raise ValueError(
+                f"expected {len(self.agents)} actions (one per agent), "
+                f"got {actions.size}"
+            )
         self._state, obs, rewards, terminated, truncated, _ = self._step_fn(
             self._state, actions
         )

@@ -92,14 +92,37 @@ class CollectConfig:
             raise ValueError("agents_index must name at least one agent")
         if len(self.balls_index) < 1:
             raise ValueError("balls_index must name at least one ball type")
+        if len(self.balls_reward) < len(self.balls_index):
+            raise ValueError(
+                f"balls_reward has {len(self.balls_reward)} entries for "
+                f"{len(self.balls_index)} ball types"
+            )
         if self.max_steps < 1:
             raise ValueError(f"max_steps must be >= 1, got {self.max_steps}")
-        interior = (self.size - 2) * (self.size - 2)
-        if self.num_balls + len(self.agents_index) > interior:
+        # Layout-aware capacity: every group of balls sharing a placement
+        # rect must fit that rect's non-wall cells, and everything placed
+        # (incl. the rooms layout's extra balls) must fit the free board.
+        from collections import Counter
+
+        wall = _wall_mask(self)
+        plan = build_plan(self)
+        rects = np.asarray(plan.ball_rects, dtype=bool)
+        for key, cnt in Counter(r.tobytes() for r in rects).items():
+            rect = np.frombuffer(key, dtype=bool)
+            avail = int((rect & ~wall).sum())
+            if cnt > avail:
+                raise ValueError(
+                    f"layout {self.layout!r} places {cnt} balls into a "
+                    f"region with only {avail} free cells "
+                    f"(size={self.size}, num_balls={self.num_balls})"
+                )
+        free = int((~wall).sum())
+        if len(plan.ball_colors) + len(self.agents_index) > free:
             raise ValueError(
-                f"{self.num_balls} balls + {len(self.agents_index)} agents "
-                f"cannot fit the {interior}-cell interior of a "
-                f"{self.size}x{self.size} board"
+                f"{len(plan.ball_colors)} balls + "
+                f"{len(self.agents_index)} agents cannot fit the {free} "
+                f"free cells of a {self.size}x{self.size} "
+                f"{self.layout!r} board"
             )
 
     @property

@@ -149,6 +149,13 @@ class CtfConfig:
             )
         if self.max_steps < 1:
             raise ValueError(f"max_steps must be >= 1, got {self.max_steps}")
+        if len(self.enemy_policies) != self.num_red_agents:
+            # Previously only a bare assert deep in make_ctf (stripped
+            # under python -O).
+            raise ValueError(
+                f"enemy_policies has {len(self.enemy_policies)} specs for "
+                f"{self.num_red_agents} red agents"
+            )
 
     @classmethod
     def from_map_path(cls, map_path: str, **kwargs) -> "CtfConfig":

@@ -93,6 +93,13 @@ class WildfireConfig:
         # "Need at least one array to concatenate" inside reset tracing.
         if self.num_agents < 1:
             raise ValueError(f"num_agents must be >= 1, got {self.num_agents}")
+        if len(self.agents_index) != self.num_agents:
+            # Silent-wrong otherwise: encode clamps the color gather, so
+            # extra agents render with the last listed color.
+            raise ValueError(
+                f"agents_index has {len(self.agents_index)} entries for "
+                f"num_agents={self.num_agents}"
+            )
         if self.size < 3:
             raise ValueError(f"size must be >= 3, got {self.size}")
         if self.num_initial_fires < 1:

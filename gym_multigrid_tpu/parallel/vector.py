@@ -59,6 +59,7 @@ class BatchedEnv:
         return states, obs
 
     def step(self, states, actions):
+        actions = jnp.asarray(actions)
         if actions.shape[:1] != (self.num_envs,):
             # Caught at trace time; without it a wrong batch size dies as
             # an opaque broadcast error inside the family math.

@@ -278,8 +278,32 @@ def test_config_validation_errors_early():
         CollectConfig(size=2)
     with pytest.raises(ValueError, match="agents_index"):
         CollectConfig(agents_index=())
-    with pytest.raises(ValueError, match="cannot fit"):
+    with pytest.raises(ValueError, match="region with only"):
         CollectConfig(num_balls=300)
     with pytest.raises(ValueError, match="max_steps"):
         CollectConfig(max_steps=0)
     CollectConfig()  # defaults still construct
+
+
+def test_layout_aware_capacity_and_adapter_action_validation():
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+
+    # rooms: 20 balls (15 + extra-ball quirk) need a 16-cell partition
+    # at num_balls=60 -> rejected; the default 15 still fits.
+    with pytest.raises(ValueError, match="region with only"):
+        CollectConfig(layout="rooms", num_balls=60)
+    CollectConfig(layout="rooms")
+    with pytest.raises(ValueError, match="balls_reward"):
+        CollectConfig(balls_reward=(1.0,))
+
+    import gymnasium as gym
+
+    import gym_multigrid_tpu
+
+    gym_multigrid_tpu.register_envs()
+    env = gym.make("multigrid-collect-quadrants-v0").unwrapped
+    env.reset(seed=0)
+    with pytest.raises(ValueError, match="expected 2 actions"):
+        env.step([1])
+    with pytest.raises(ValueError, match="expected 2 actions"):
+        env.step([1, 2, 3, 4])

@@ -468,3 +468,12 @@ def test_ctf_config_validation_errors_early():
            enemy_policies=(PolicySpec("rw"), PolicySpec("rw")))
     with pytest.raises(ValueError, match="max_steps"):
         mk(max_steps=0)
+
+
+def test_enemy_policies_length_validated():
+    from gym_multigrid_tpu.envs.ctf import CtfConfig
+
+    with pytest.raises(ValueError, match="enemy_policies"):
+        CtfConfig.from_map_path(
+            MAP_PATH, num_blue_agents=2, num_red_agents=2
+        )

@@ -136,3 +136,13 @@ def test_adapter_rejects_wrong_action_count():
     env.reset(seed=0)
     with pytest.raises(ValueError, match="expected 2 actions"):
         env.step([1, 2, 3, 4])
+
+
+def test_agents_index_length_validated():
+    import pytest
+
+    from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+
+    with pytest.raises(ValueError, match="agents_index"):
+        WildfireConfig(num_agents=3)
+    WildfireConfig(num_agents=3, agents_index=(1, 4, 5))
