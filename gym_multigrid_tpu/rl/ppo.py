@@ -35,6 +35,14 @@ class PPOConfig:
     # (previous behavior).  Must divide rollout_len * num_envs.
     num_minibatches: int = 1
     max_grad_norm: float = 0.5
+    # Rollout-buffer compaction: store integer observations in this narrow
+    # dtype inside the (T, B, obs_dim) buffer and cast back at update time.
+    # Numerically identical whenever every obs value fits the dtype: the
+    # network casts its input to bf16 before the first matmul either way
+    # (networks.ActorCritic), and grid/coordinate encodings here are small
+    # ints.  "int8" cuts the dominant PPO buffer 4x vs int32 — at 1M envs
+    # that's what bounds rollout_len in HBM.  None keeps the env's dtype.
+    obs_buffer_dtype: str | None = None
 
 
 class RolloutCarry(NamedTuple):
@@ -71,6 +79,23 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
+    obs_dtype = (
+        jnp.dtype(cfg.obs_buffer_dtype) if cfg.obs_buffer_dtype else None
+    )
+    if obs_dtype is not None and not jnp.issubdtype(obs_dtype, jnp.integer):
+        raise ValueError(
+            f"obs_buffer_dtype must be an integer dtype, got {obs_dtype}"
+        )
+
+    def _store_obs(obs):
+        if obs_dtype is None or obs.dtype == obs_dtype:
+            return obs
+        if not jnp.issubdtype(obs.dtype, jnp.integer):
+            raise ValueError(
+                "obs_buffer_dtype compaction needs integer observations; "
+                f"this env emits {obs.dtype} (e.g. Maze's float64 map quirk)"
+            )
+        return obs.astype(obs_dtype)
 
     def init_fn(key: jax.Array):
         k_env, k_net = jax.random.split(key)
@@ -116,7 +141,7 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
                 step_obs,
             )
             tr = Transition(
-                obs=obs,
+                obs=_store_obs(obs),
                 actions=actions,
                 logp=logp,
                 value=value,
@@ -237,17 +262,16 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
         def one_epoch(carry, k_ep):
             params, opt_state = carry
             # Fresh shuffle per epoch; static minibatch count -> scan over
-            # the (num_minibatches, mb_size, ...) leading axis.
+            # the (num_minibatches, mb_size) index slices.  Each minibatch
+            # gathers its own rows inside the scan body, so peak HBM holds
+            # the flat buffer plus ONE minibatch — materializing the whole
+            # shuffled copy up front would double the dominant buffer.
             perm = jax.random.permutation(k_ep, n)
-            mbs = jax.tree_util.tree_map(
-                lambda x: x[perm].reshape(
-                    (cfg.num_minibatches, mb_size) + x.shape[1:]
-                ),
-                flat,
-            )
+            idxs = perm.reshape((cfg.num_minibatches, mb_size))
 
-            def one_minibatch(carry, mb):
+            def one_minibatch(carry, idx):
                 params, opt_state = carry
+                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
                 (_, metrics), grads = jax.value_and_grad(
                     _loss, has_aux=True
                 )(params, mb)
@@ -256,7 +280,7 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
                 return (params, opt_state), metrics
 
             (params, opt_state), metrics = jax.lax.scan(
-                one_minibatch, (params, opt_state), mbs
+                one_minibatch, (params, opt_state), idxs
             )
             # Mean over the epoch's minibatches.
             metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)

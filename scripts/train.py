@@ -46,6 +46,12 @@ def main() -> None:
         help="PPO iterations scanned per jitted dispatch; >1 amortizes "
         "the remote TPU dispatch latency (pick a divisor of --iters)",
     )
+    p.add_argument(
+        "--obs-buffer-dtype",
+        default=None,
+        help="store rollout obs in this integer dtype (e.g. int8) — 4x "
+        "smaller PPO buffer, numerically identical for these small-int obs",
+    )
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
@@ -90,6 +96,7 @@ def main() -> None:
         num_minibatches=args.minibatches,
         lr=args.lr,
         ent_coef=args.ent_coef,
+        obs_buffer_dtype=args.obs_buffer_dtype,
     )
     train_loop(
         env,
