@@ -38,12 +38,17 @@ TPU mapping.  The transition is written once, as batched (B, cells) math
 consumers: the per-env functional core below (B=1 rows), the direct XLA
 batch step (``make_wildfire_step_batch``), and the fused Pallas kernels
 (ops/pallas_wildfire.py) — kernel ≡ spec is bit-compared in
-tests/test_pallas_wildfire.py.  The spread stencil is ONE MXU matmul
-against the static 4-neighbor adjacency matrix (no rolls, no gathers —
-edges fall out of the adjacency, and the same trick generalizes to any
-board topology); masked categorical draws use the tril-matmul prefix sum
-(Pallas TPU has no cumsum/scatter lowering); all randomness is pre-drawn
-uniforms so every consumer is a deterministic function of its inputs.
+tests/test_pallas_wildfire.py.  The spread stencil and the masked
+categorical picks each have two bit-identical forms selected by the
+``adj`` / ``tril`` arguments: the matmul forms (fire_row @ adjacency;
+tril-matmul prefix sums) that the Pallas kernels need (no cumsum/scatter
+lowering on Mosaic, and the adjacency generalizes to any board
+topology), and matmul-free forms for plain-XLA consumers (masked lane
+shifts; integer log-doubling prefix sums) — the per-step auto-reset
+picks would otherwise burn n_fires + n_agents (B,C)x(C,C) matmuls every
+step.  Both compute exact small integers, so outputs are bit-equal
+(pinned in tests).  All randomness is pre-drawn uniforms so every
+consumer is a deterministic function of its inputs.
 """
 
 from __future__ import annotations
@@ -214,16 +219,39 @@ def reset_rnd_width(t: WfTables) -> int:
     return t.n_cells + t.n_fires + t.n_agents
 
 
+def _prefix_sum_lanes(x):
+    """Inclusive prefix sum along the lane axis of (B, C) int32 —
+    log2(C) shifted adds (Hillis-Steele).  Exact integer math, so it is
+    bit-identical to the tril-matmul form (0/1 counts <= C are exact in
+    f32 too); unlike the matmul it costs no MXU and exists because the
+    per-step auto-reset picks would otherwise burn several (B,C)x(C,C)
+    matmuls per env step on the XLA episode path."""
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :n]
+        s *= 2
+    return x
+
+
 def _masked_pick(mask, u, tril):
     """One-hot of the floor(u*count)-th True lane of (B, C) ``mask``
-    (uniform over the set lanes; all-False rows pick nothing).  Prefix sums
-    run as a tril matmul — no cumsum lowering on Mosaic."""
-    mi = mask.astype(jnp.float32)
-    count = jnp.sum(mi, axis=1, keepdims=True)
-    r = jnp.minimum((u * count).astype(jnp.int32), count.astype(jnp.int32) - 1)
-    cum = jnp.dot(mi, tril, preferred_element_type=jnp.float32).astype(
-        jnp.int32
-    )
+    (uniform over the set lanes; all-False rows pick nothing).
+
+    tril = (C, C) f32 lower-triangular ones: prefix sums run as one MXU
+    matmul (no cumsum lowering on Mosaic — the Pallas kernels need this
+    form).  tril = None: plain-XLA consumers use the integer log-doubling
+    prefix sum instead — bit-identical result, no MXU traffic."""
+    count = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
+    r = jnp.minimum((u * count.astype(jnp.float32)).astype(jnp.int32),
+                    count - 1)
+    if tril is None:
+        cum = _prefix_sum_lanes(mask.astype(jnp.int32))
+    else:
+        cum = jnp.dot(
+            mask.astype(jnp.float32), tril,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
     return (cum == r + 1) & mask
 
 
@@ -297,11 +325,26 @@ def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
     n_ext = jnp.sum(put_out.astype(jnp.int32), axis=1, keepdims=True)
     cells = jnp.where(put_out, BURNT, cells)
 
-    # Spread: neighbor fire count = one matmul; ignition probability via
+    # Spread: neighbor fire count per cell, then ignition probability via
     # the survival table selected on the exact integer count (0..4).
+    # adj = (C, C) static 4-neighbor adjacency: one MXU matmul (the form
+    # the Pallas kernels need; also generalizes to any board topology).
+    # adj = None: plain-XLA consumers count neighbors with four masked
+    # lane shifts instead — identical integers, no MXU.
     u = rnd[:, 1 : 1 + C]
-    fire = (cells == FIRE).astype(jnp.float32)
-    nb = jnp.dot(fire, adj, preferred_element_type=jnp.float32)  # (B, C)
+    if adj is None:
+        f = (cells == FIRE).astype(jnp.int32)
+        north = jnp.pad(f, ((0, 0), (w, 0)))[:, :C]
+        south = jnp.pad(f, ((0, 0), (0, w)))[:, w:]
+        col = np.arange(C) % w
+        not_x0 = jnp.asarray((col != 0).astype(np.int32))[None, :]
+        not_xl = jnp.asarray((col != w - 1).astype(np.int32))[None, :]
+        west = jnp.pad(f, ((0, 0), (1, 0)))[:, :C] * not_x0
+        east = jnp.pad(f, ((0, 0), (0, 1)))[:, 1:] * not_xl
+        nb = (north + south + west + east).astype(jnp.float32)
+    else:
+        fire = (cells == FIRE).astype(jnp.float32)
+        nb = jnp.dot(fire, adj, preferred_element_type=jnp.float32)  # (B, C)
     p_ig = jnp.zeros((B, C), jnp.float32)
     for k in range(1, 5):
         p_ig = jnp.where(nb == float(k), 1.0 - t.survival[k], p_ig)
@@ -368,13 +411,13 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
     t = wf_tables(cfg)
     C = t.n_cells
     agent_colors = jnp.asarray(np.array(cfg.agents_index, dtype=np.int32))
-    adj = jnp.asarray(adjacency(cfg))
-    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
 
     def reset_fn(key: jax.Array) -> WildfireState:
         key, k_rnd = jax.random.split(key)
         rnd = jax.random.uniform(k_rnd, (1, reset_rnd_width(t)))
-        cells, pos = wf_reset_math(t, rnd, tril)
+        # tril=None: integer prefix-sum picks (bit-identical to the
+        # kernels' tril-matmul form, no MXU work)
+        cells, pos = wf_reset_math(t, rnd, None)
         return WildfireState(
             cells=cells.reshape(h, w),
             agent_pos=pos.reshape(n_agents, 2),
@@ -392,7 +435,7 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
             state.agent_pos.reshape(1, 2 * n_agents),
             jnp.asarray(actions).reshape(1, n_agents),
             rnd,
-            adj,
+            None,  # lane-shift stencil; bit-identical to the adj matmul
         )
         rewards = jnp.full(
             (n_agents,), reward[0, 0] / n_agents, dtype=jnp.float32
@@ -477,7 +520,9 @@ def make_wildfire_step_batch(cfg: WildfireConfig, use_pallas: bool = False):
     else:
 
         def run_math(cells, pos, acts, rnd):
-            return wf_step_math(t, cells, pos, acts, rnd, adj)
+            # adj=None: masked lane-shift neighbor count — identical
+            # integers to the adjacency matmul, no MXU traffic.
+            return wf_step_math(t, cells, pos, acts, rnd, None)
 
     def step_batch(states: WildfireState, actions: jax.Array):
         B = states.cells.shape[0]

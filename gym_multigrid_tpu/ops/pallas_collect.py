@@ -60,6 +60,33 @@ class _Tables(NamedTuple):
     respawn_slot_base: int
 
 
+
+def _prefix_sum_lanes(x):
+    """Inclusive int32 prefix sum along lanes — log2(C) shifted adds.
+    Bit-identical to the tril-matmul form (0/1 counts are exact either
+    way); used by plain-XLA consumers so the respawn/reset picks cost no
+    (B,C)x(C,C) MXU matmuls.  Mosaic kernels keep the tril form."""
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :n]
+        s *= 2
+    return x
+
+
+def _prefix_counts(mask, tril):
+    """(inclusive prefix sum, total count) of a (B, C) bool mask, int32.
+    tril = (C, C) f32 prefix matmul (Mosaic form) or None (XLA form)."""
+    if tril is None:
+        cum = _prefix_sum_lanes(mask.astype(jnp.int32))
+    else:
+        cum = jnp.dot(
+            mask.astype(jnp.float32), tril,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+    return cum, jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
+
+
 def _step_math(t: _Tables, go, gc, gs, pos, acts, rnd, rects=None, tril=None):
     """One Collect transition for a (B, cells) slab.
 
@@ -155,17 +182,11 @@ def _step_math(t: _Tables, go, gc, gs, pos, acts, rnd, rects=None, tril=None):
             for c in range(n_colors):
                 rect = rect | ((bc == c) & rects[c][None, :])
             mask = rect & (go == t.empty)
-            mi = mask.astype(jnp.int32)
-            count = jnp.sum(mi, axis=1, keepdims=True)
+            cum, count = _prefix_counts(mask, tril)
             u = rnd[:, 1 + slot : 2 + slot]
             r = jnp.minimum(
                 (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
             )
-            cum = jnp.dot(
-                mi.astype(jnp.float32),
-                tril,
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
             hit_r = (cum == r + 1) & mask
             go = jnp.where(hit_r & is_ball, t.ball, go)
             gc = jnp.where(hit_r & is_ball, ball_color, gc)
@@ -520,6 +541,143 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
     )
 
 
+def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
+    """:func:`_step_math` on ONE packed (B, C) int32 plane.
+
+    Layout: obj = bits 0-3, color = bits 4-7, reward slot = bits 8+.  All
+    Collect values fit (CollectWorld object indices <= 3, color indices
+    <= 15, reward slots <= num_balls + num_colors).  Most plane updates
+    write obj+color+slot under the SAME mask, so one packed plane turns
+    three where-selects (and three loads/stores at chunk boundaries of
+    the unrolled multi-step path) into one — the (B, C) slab work is what
+    bounds the XLA episode path at batch scale.
+
+    Bit-equality with the three-plane spec is pinned in
+    tests/test_pallas.py (pack -> packed step -> unpack == _step_math).
+    """
+    B, C = p.shape
+    n_agents = acts.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    w = t.width
+
+    if n_agents == 2:
+        first = (rnd[:, 0:1] < 0.5).astype(jnp.int32)
+    else:
+        first = jnp.zeros((B, 1), dtype=jnp.int32)
+
+    picked = [jnp.full((B, 1), -1, dtype=jnp.int32) for _ in range(n_agents)]
+    pos_cols = [pos[:, 2 * i : 2 * i + 2] for i in range(n_agents)]
+    agent_colors = np.array(t.agent_colors, dtype=np.int32)
+    obj_mask = jnp.int32(15)
+
+    for slot in range(n_agents):
+        if n_agents == 2:
+            i_vec = jnp.where(slot == 0, first, 1 - first)
+
+            def pick(a, b):
+                return jnp.where(i_vec == 0, a, b)
+
+            act = pick(acts[:, 0:1], acts[:, 1:2])
+            px = pick(pos_cols[0][:, 0:1], pos_cols[1][:, 0:1])
+            py = pick(pos_cols[0][:, 1:2], pos_cols[1][:, 1:2])
+            my_color = jnp.where(
+                i_vec == 0,
+                jnp.int32(agent_colors[0]),
+                jnp.int32(agent_colors[1 % len(agent_colors)]),
+            )
+        else:
+            i_vec = jnp.zeros((B, 1), jnp.int32)
+            act = acts[:, 0:1]
+            px = pos_cols[0][:, 0:1]
+            py = pos_cols[0][:, 1:2]
+            my_color = jnp.int32(agent_colors[0])
+
+        valid = (act >= 0) & (act < 4)
+        dx = jnp.zeros_like(act)
+        dy = jnp.zeros_like(act)
+        for a in range(4):
+            m = valid & (act == a)
+            dx = jnp.where(m, int(t.action_dx[a]), dx)
+            dy = jnp.where(m, int(t.action_dy[a]), dy)
+        nx = jnp.clip(px + dx, 0, t.width - 1)
+        ny = jnp.clip(py + dy, 0, t.height - 1)
+        nidx = ny * w + nx
+        oidx = py * w + px
+        hit_n = lane == nidx
+        hit_o = lane == oidx
+
+        # One gather-sum of the packed word replaces three plane gathers.
+        cell_p = jnp.sum(jnp.where(hit_n, p, 0), axis=1, keepdims=True)
+        cell = cell_p & obj_mask
+        is_ball = cell == t.ball
+        do_move = is_ball | (cell == t.empty)
+        ball_color = (cell_p >> 4) & obj_mask
+        ball_slot = cell_p >> 8
+
+        # pickup: clear obj+color+slot in one write (collect_game.py:140)
+        p = jnp.where(hit_n & is_ball, t.empty, p)
+
+        if t.respawn:
+            n_colors = rects.shape[0]
+            bc = jnp.clip(ball_color, 0, n_colors - 1)
+            rect = jnp.zeros((B, C), dtype=jnp.bool_)
+            for c in range(n_colors):
+                rect = rect | ((bc == c) & rects[c][None, :])
+            mask = rect & ((p & obj_mask) == t.empty)
+            cum, count = _prefix_counts(mask, tril)
+            u = rnd[:, 1 + slot : 2 + slot]
+            r = jnp.minimum(
+                (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
+            )
+            hit_r = (cum == r + 1) & mask
+            ball_p = (
+                t.ball
+                | (ball_color << 4)
+                | ((t.respawn_slot_base + ball_color) << 8)
+            )
+            p = jnp.where(hit_r & is_ball, ball_p, p)
+
+        # move (collect_game.py:174-181); vacated cell has no slot/color
+        agent_p = t.agent | (my_color << 4)
+        p = jnp.where(hit_n & do_move, agent_p, p)
+        p = jnp.where(hit_o & do_move, t.empty, p)
+
+        new_px = jnp.where(do_move, nx, px)
+        new_py = jnp.where(do_move, ny, py)
+        picked_here = jnp.where(is_ball, ball_slot, -1)
+
+        if n_agents == 2:
+            pos_cols[0] = jnp.where(
+                i_vec == 0,
+                jnp.concatenate([new_px, new_py], axis=1),
+                pos_cols[0],
+            )
+            pos_cols[1] = jnp.where(
+                i_vec == 1,
+                jnp.concatenate([new_px, new_py], axis=1),
+                pos_cols[1],
+            )
+            picked[0] = jnp.where(i_vec == 0, picked_here, picked[0])
+            picked[1] = jnp.where(i_vec == 1, picked_here, picked[1])
+        else:
+            pos_cols[0] = jnp.concatenate([new_px, new_py], axis=1)
+            picked[0] = picked_here
+
+    pos_out = jnp.concatenate(pos_cols, axis=1)
+    picked_out = jnp.concatenate(picked, axis=1)
+    return p, pos_out, picked_out
+
+
+def pack_planes(go, gc, gs):
+    """(go, gc, gs) int32 planes -> one packed plane (obj|color<<4|slot<<8)."""
+    return go | (gc << 4) | (gs << 8)
+
+
+def unpack_planes(p):
+    m = jnp.int32(15)
+    return p & m, (p >> 4) & m, p >> 8
+
+
 def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
                      rwd_tab, slot_tab, n_types):
     """K Collect steps as plain XLA (the kernel body's loop, same
@@ -529,13 +687,17 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
     A = pos.shape[1] // 2
     rew = jnp.zeros((B, A), jnp.float32)
     cnt = jnp.zeros((B, A, n_types), jnp.int32)
+    # The unrolled K steps run on ONE packed plane (obj|color<<4|slot<<8):
+    # a third of the slab working set / chunk-boundary traffic of three
+    # separate planes, and most per-step updates collapse to one select.
+    # Pack/unpack only at the chunk boundary.  Output-identical to K
+    # _step_math steps (pinned in tests/test_pallas.py).
+    p = pack_planes(go, gc, gs)
     for k in range(K):
         base = k * (A + 3)
         acts = packed[:, base : base + A].astype(jnp.int32)
         rnd = packed[:, base + A : base + A + 3]
-        go, gc, gs, pos, picked = _step_math(
-            t, go, gc, gs, pos, acts, rnd, rects, tril
-        )
+        p, pos, picked = _step_math_packed(t, p, pos, acts, rnd, rects, tril)
         got = picked >= 0  # (B, A)
         ps = jnp.clip(picked, 0, rwd_tab.shape[0] - 1)
         rew = rew + jnp.where(got, rwd_tab[ps], 0.0)
@@ -543,6 +705,7 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
             slot_tab[ps], n_types, dtype=jnp.int32
         ) * got[..., None].astype(jnp.int32)
         cnt = cnt + bump
+    go, gc, gs = unpack_planes(p)
     return go, gc, gs, pos, rew, cnt.reshape(B, A * n_types)
 
 
@@ -588,7 +751,9 @@ def make_collect_episode_rollout(
     # Static arrays for the XLA (use_kernel=False) path.
     C = cfg.num_cells
     _ms_rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
-    _ms_tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    # None = matmul-free integer prefix sums on the XLA path (the kernels
+    # keep the tril form; outputs are bit-identical).
+    _ms_tril = None
     _ms_rwd = jnp.asarray(slot_rewards_np, dtype=jnp.float32)
     _ms_slot = jnp.asarray(slot_info_np, dtype=jnp.int32)
 
@@ -747,13 +912,14 @@ def make_reset_tables(cfg):
 
 
 def _masked_pick(mask, u, tril):
-    """Uniform index over the True lanes of (B, C) ``mask`` given one
-    uniform per row: floor(u*count)-th set bit via the tril-matmul prefix
-    sum.  Returns a (B, C) one-hot bool."""
-    mi = mask.astype(jnp.float32)
-    count = jnp.sum(mi, axis=1, keepdims=True)
-    r = jnp.minimum((u * count).astype(jnp.int32), count.astype(jnp.int32) - 1)
-    cum = jnp.dot(mi, tril, preferred_element_type=jnp.float32).astype(jnp.int32)
+    """One-hot over (B, C) ``mask``: floor(u*count)-th set bit, exactly
+    uniform per row.  tril = the prefix-sum matmul (Mosaic kernels);
+    tril = None = integer log-doubling prefix sum (plain XLA) —
+    bit-identical either way."""
+    cum, count = _prefix_counts(mask, tril)
+    r = jnp.minimum(
+        (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
+    )
     return (cum == r + 1) & mask
 
 

@@ -629,14 +629,26 @@ def make_ctf_step_batch(cfg, interpret: bool | None = None,
 
 def _masked_pick_idx(mask, u, tril):
     """(B, n) mask -> (B, 1) index of the floor(u*count)-th True lane
-    (uniform over set lanes; tril is the (n, n) prefix-sum matmul)."""
+    (uniform over set lanes).  tril = the (n, n) prefix-sum matmul the
+    Mosaic kernels need; tril = None selects the integer log-doubling
+    prefix sum for plain-XLA consumers — bit-identical (exact small
+    ints), no MXU work."""
     lane = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
-    mi = mask.astype(jnp.float32)
-    count = jnp.sum(mi, axis=1, keepdims=True)
-    r = jnp.minimum((u * count).astype(jnp.int32), count.astype(jnp.int32) - 1)
-    cum = jnp.dot(mi, tril, preferred_element_type=jnp.float32).astype(
-        jnp.int32
+    count = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
+    r = jnp.minimum(
+        (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
     )
+    if tril is None:
+        cum = mask.astype(jnp.int32)
+        step = 1
+        while step < mask.shape[1]:
+            cum = cum + jnp.pad(cum, ((0, 0), (step, 0)))[:, : mask.shape[1]]
+            step *= 2
+    else:
+        cum = jnp.dot(
+            mask.astype(jnp.float32), tril,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
     hit = (cum == r + 1) & mask
     return jnp.sum(jnp.where(hit, lane, 0), axis=1, keepdims=True), hit
 
@@ -867,9 +879,12 @@ def make_ctf_episode_rollout(
                 )
             )
         else:
+            # tril_b/tril_r = None: integer prefix-sum spawn picks (bit-
+            # identical to the kernels' tril matmuls, no MXU work).
             pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
                 _ctf_ms_math(
-                    t, K, *args, packed, cells, border, pool, *terr_pack
+                    t, K, *args, packed, cells, border, pool,
+                    terr_pack[0], terr_pack[1], None, None,
                 )
             )
         states = CtfState(

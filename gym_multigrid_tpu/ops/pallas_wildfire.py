@@ -227,8 +227,13 @@ def make_wildfire_episode_rollout(
     C = t.n_cells
     h, w = cfg.height, cfg.width
     stride = A + step_rnd_width(t) + reset_rnd_width(t)
-    adj_x = jnp.asarray(adjacency(t))
-    tril_x = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    # XLA path: adj/tril = None selects the matmul-free stencil and
+    # prefix-sum forms (bit-identical integers).  The per-step auto-reset
+    # picks otherwise cost n_fires + n_agents (B,C)x(C,C) matmuls per env
+    # step — at 16x16 that is ~5x the spread's MXU work, all of it thrown
+    # away on the (vast majority of) steps where the env isn't done.
+    adj_x = None
+    tril_x = None
 
     def _launch(states, run_ret, key, K):
         B = states.cells.shape[0]

@@ -234,3 +234,45 @@ def test_reset_kernel_matches_spec_and_semantics():
         assert (hit <= rects_np[c][None, :]).all()
     # the walls are intact
     assert ((go == 1) == np.array(_wall_mask(CFG))[None, :]).all()
+
+
+def test_packed_step_math_bit_equal_to_three_planes():
+    """The packed-plane step (one int32 word: obj|color<<4|slot<<8) must be
+    output-identical to the three-plane spec on the same draws — it is the
+    XLA episode path's inner loop (_collect_ms_math packs at chunk
+    boundaries for a third of the slab traffic)."""
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        _step_math_packed,
+        pack_planes,
+        unpack_planes,
+    )
+
+    n = 64
+    states = _batched_states(CFG, n, seed=5)
+    t = make_tables(CFG)
+    rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
+    C = states.grid_obj.shape[1]
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+
+    go, gc, gs = states.grid_obj, states.grid_color, states.grid_slot
+    pos = states.agent_pos.reshape(n, -1)
+    p = pack_planes(go, gc, gs)
+    # pack/unpack round trip on a freshly reset grid
+    for a, b in zip(unpack_planes(p), (go, gc, gs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    key = jax.random.PRNGKey(9)
+    for step in range(60):  # enough steps to hit pickups + respawns
+        key, k_a, k_r = jax.random.split(key, 3)
+        acts = jax.random.randint(k_a, (n, 2), 0, 4)
+        rnd = jax.random.uniform(k_r, (n, 3))
+        go, gc, gs, pos_w, picked_w = _step_math(
+            t, go, gc, gs, pos, acts, rnd, rects, tril
+        )
+        p, pos, picked = _step_math_packed(t, p, pos, acts, rnd, rects, tril)
+        uo, uc, us = unpack_planes(p)
+        np.testing.assert_array_equal(np.asarray(uo), np.asarray(go))
+        np.testing.assert_array_equal(np.asarray(uc), np.asarray(gc))
+        np.testing.assert_array_equal(np.asarray(us), np.asarray(gs))
+        np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos_w))
+        np.testing.assert_array_equal(np.asarray(picked), np.asarray(picked_w))

@@ -159,3 +159,47 @@ def test_wildfire_slab_matches_vmapped_core_distribution():
     rs = np.mean([stats(env_s, s)[0] for s in range(2)])
     rc = np.mean([stats(env_core, s)[0] for s in range(2)])
     assert abs(rs - rc) < 0.05, (rs, rc)
+
+
+def test_matmul_and_matmul_free_forms_bit_equal():
+    """wf_step_math/wf_reset_math have two forms each: the Mosaic-safe
+    matmul forms (adj / tril) and the plain-XLA lane-shift / log-doubling
+    forms (None).  Both compute exact small integers, so whole transitions
+    must be bit-equal — the XLA episode path depends on it."""
+    import numpy as np
+    from gym_multigrid_tpu.envs.wildfire import (
+        WildfireConfig,
+        adjacency,
+        reset_rnd_width,
+        step_rnd_width,
+        wf_reset_math,
+        wf_step_math,
+        wf_tables,
+    )
+
+    cfg = WildfireConfig(size=11, num_agents=3, agents_index=(4, 5, 6),
+                         num_initial_fires=2, max_steps=50)
+    t = wf_tables(cfg)
+    C = t.n_cells
+    adj = jnp.asarray(adjacency(cfg))
+    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
+    B = 32
+    key = jax.random.PRNGKey(3)
+
+    k1, k2, key = jax.random.split(key, 3)
+    rr = jax.random.uniform(k1, (B, reset_rnd_width(t)))
+    cells_a, pos_a = wf_reset_math(t, rr, tril)
+    cells_b, pos_b = wf_reset_math(t, rr, None)
+    np.testing.assert_array_equal(np.asarray(cells_a), np.asarray(cells_b))
+    np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
+
+    cells, pos = cells_a, pos_a
+    for _ in range(25):
+        key, k_a, k_r = jax.random.split(key, 3)
+        acts = jax.random.randint(k_a, (B, t.n_agents), 0, 5)
+        rnd = jax.random.uniform(k_r, (B, step_rnd_width(t)))
+        out_a = wf_step_math(t, cells, pos, acts, rnd, adj)
+        out_b = wf_step_math(t, cells, pos, acts, rnd, None)
+        for a, b in zip(out_a, out_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        cells, pos = out_a[0], out_a[1]
