@@ -166,13 +166,19 @@ def align_steps(family: str, steps: int) -> int:
     return max(ms, (steps // ms) * ms)
 
 
-def measure(family: str, batch: int, steps: int, reps: int, path: str):
+def measure(family: str, batch: int, steps: int, reps: int, path: str,
+            prng: str = "threefry2x32"):
     made = _make_runner(family, batch, steps, path)
     if made is None:
         return None
     init, run, agents = made
-    states = init(jax.random.PRNGKey(0))
-    states, metrics = run(states, jax.random.PRNGKey(1))  # compile + warm
+    # prng picks the bit generator for the rollout's pre-drawn uniforms
+    # (the hot paths consume hundreds of uniforms per env step; "rbg"
+    # rides XLA's native RngBitGenerator).  Distribution-exactness — the
+    # framework's parity bar (SURVEY.md §2.3) — holds for either.
+    key = lambda i: jax.random.key(i, impl=prng)  # noqa: E731
+    states = init(key(0))
+    states, metrics = run(states, key(1))  # compile + warm
     jax.block_until_ready(metrics["reward_sum"])
     # Best of 3 timed windows: the TPU tunnel's dispatch-latency spikes add
     # ±2-4% noise; the fastest window estimates sustained device throughput.
@@ -180,9 +186,7 @@ def measure(family: str, batch: int, steps: int, reps: int, path: str):
     for w in range(3):
         t0 = time.perf_counter()
         for r in range(reps):
-            states, metrics = run(
-                states, jax.random.PRNGKey(2 + w * reps + r)
-            )
+            states, metrics = run(states, key(2 + w * reps + r))
         jax.block_until_ready(metrics["reward_sum"])
         best_dt = min(best_dt, time.perf_counter() - t0)
     return batch * steps * reps * agents / best_dt
@@ -205,6 +209,12 @@ def main(argv=None):
         help="measure every supported path, not just the headline",
     )
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--prng",
+        default="threefry2x32",
+        choices=["threefry2x32", "rbg"],
+        help="bit generator for the rollout uniforms (rbg = XLA-native)",
+    )
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -222,7 +232,8 @@ def main(argv=None):
                 if q != headline and (on_tpu or q != "pallas-ms")
             ]
         for path_name in paths:
-            aps = measure(family, args.batch, steps, args.reps, path_name)
+            aps = measure(family, args.batch, steps, args.reps, path_name,
+                          prng=args.prng)
             if aps is None:
                 continue
             base = BASELINES[family]

@@ -457,12 +457,15 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
 
     n_slots = len(rwd_tab)
 
-    def kernel(go_ref, gc_ref, gs_ref, pos_ref, ar_ref, rects_ref, tril_ref,
-               rwd_ref, info_ref, go_out, gc_out, gs_out, pos_out, rew_out,
-               cnt_out):
-        go_k, gc_k, gs_k, pos_k = go_ref[:], gc_ref[:], gs_ref[:], pos_ref[:]
+    def kernel(gp_ref, pos_ref, ar_ref, rects_ref, tril_ref,
+               rwd_ref, info_ref, gp_out, pos_out, rew_out, cnt_out):
+        # One packed plane (obj|color<<4|slot<<8) instead of three: a third
+        # of the per-row VMEM footprint, which is what caps the unroll
+        # depth (Mosaic stacks per-step temporaries), and one select per
+        # masked update inside the step.
+        gp_k, pos_k = gp_ref[:], pos_ref[:]
         ar = ar_ref[:]
-        blk_rows = go_k.shape[0]
+        blk_rows = gp_k.shape[0]
         rew = jnp.zeros((blk_rows, A), dtype=jnp.float32)
         cnt = jnp.zeros((blk_rows, A * n_types), dtype=jnp.int32)
         cnt_lane = jax.lax.broadcasted_iota(jnp.int32, (1, A * n_types), 1)
@@ -472,9 +475,8 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
             base = k * (A + 3)
             acts = ar[:, base : base + A].astype(jnp.int32)
             rnd = ar[:, base + A : base + A + 3]
-            go_k, gc_k, gs_k, pos_k, picked = _step_math(
-                t, go_k, gc_k, gs_k, pos_k, acts, rnd, rects_ref[:],
-                tril_ref[:],
+            gp_k, pos_k, picked = _step_math_packed(
+                t, gp_k, pos_k, acts, rnd, rects_ref[:], tril_ref[:],
             )
             # slot-keyed reward/counter accumulation: table rows come in as
             # (1, n_slots) refs and are selected with iota compares (no
@@ -493,9 +495,7 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
                 cnt = cnt + jnp.where(
                     (cnt_lane == col) & (pa >= 0), 1, 0
                 )
-        go_out[:] = go_k
-        gc_out[:] = gc_k
-        gs_out[:] = gs_k
+        gp_out[:] = gp_k
         pos_out[:] = pos_k
         rew_out[:] = rew
         cnt_out[:] = cnt
@@ -503,12 +503,10 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
     def row_spec(cols):
         return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    gp, pos_o, rew_o, cnt_o = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            row_spec(C),
-            row_spec(C),
             row_spec(C),
             row_spec(2 * A),
             row_spec(K * (A + 3)),
@@ -519,15 +517,11 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
         ],
         out_specs=[
             row_spec(C),
-            row_spec(C),
-            row_spec(C),
             row_spec(2 * A),
             row_spec(A),
             row_spec(A * n_types),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, C), jnp.int32),
-            jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 2 * A), jnp.int32),
             jax.ShapeDtypeStruct((B, A), jnp.float32),
@@ -535,10 +529,12 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
         ],
         interpret=interpret,
     )(
-        go, gc, gs, pos, acts_rnd, rects, tril,
+        pack_planes(go, gc, gs), pos, acts_rnd, rects, tril,
         jnp.asarray(np.array(rwd_tab, dtype=np.float32))[None, :],
         jnp.asarray(np.array(slot_tab, dtype=np.int32))[None, :],
     )
+    go, gc, gs = unpack_planes(gp)
+    return go, gc, gs, pos_o, rew_o, cnt_o
 
 
 def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
