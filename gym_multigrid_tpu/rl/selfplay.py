@@ -1,0 +1,271 @@
+"""Self-play PPO for CtF: both teams are learned policies.
+
+The reference can only train blue against its scripted red heuristics
+(reference scripts/main_mvn_ctf_rl.py + policy/ctf/heuristic.py); its env
+hardwires red to `policy.act`.  The functional CtF core here exposes
+`step_actions_fn` (all-agent external actions, envs/ctf.py), which makes
+the adversarial setting a pure composition: one jitted train step rolls
+out BOTH nets on the same env batch, computes GAE per side (red's reward
+is the negation of the blue-centric team reward — the adversarial
+objective), and applies independent minibatched PPO updates to each side.
+
+Everything (two rollout policies, two updates) compiles into one XLA
+program; under a mesh the env batch shards over 'data' exactly like the
+single-sided learner (see __graft_entry__.dryrun_multichip for the
+sharding pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gym_multigrid_tpu.parallel.vector import BatchedEnv
+from gym_multigrid_tpu.rl.networks import ActorCritic, sample_actions
+from gym_multigrid_tpu.rl.ppo import PPOConfig, RolloutCarry
+
+
+def make_ctf_selfplay_batch(cfg, num_envs: int, auto_reset: bool = True):
+    """BatchedEnv over the external-actions CtF step: actions are
+    (num_envs, n_blue + n_red) ints for ALL agents, blue first (the same
+    agent order as CtfState.pos).  Rewards stay the blue-centric scalar
+    team reward of the base step (envs/ctf.py _transition)."""
+    from gym_multigrid_tpu.envs.ctf import make_ctf
+
+    fns = make_ctf(cfg)
+
+    def step_one(state, actions):
+        return fns.step_actions_fn(state, actions)
+
+    return BatchedEnv(
+        reset_one=fns.reset_fn,
+        step_one=step_one,
+        encode_one=fns.obs_fn,
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+        num_actions=5,
+        actions_shape=(cfg.num_blue_agents + cfg.num_red_agents,),
+    )
+
+
+class SelfPlayState(NamedTuple):
+    blue_params: Any
+    red_params: Any
+    blue_opt: Any
+    red_opt: Any
+    states: RolloutCarry
+
+
+class _Traj(NamedTuple):
+    obs: jax.Array
+    actions: jax.Array
+    logp: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    terminated: jax.Array
+    truncated: jax.Array
+    boot_value: jax.Array
+
+
+def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
+                      hidden=(256, 256)):
+    """(init_fn, train_step) for simultaneous independent PPO on both CtF
+    teams.  train_step(sp_state, key) -> (sp_state', key, metrics) with
+    blue_*/red_* metric prefixes; fully jittable."""
+    n_blue = cfg.num_blue_agents
+    n_red = cfg.num_red_agents
+    blue_net = ActorCritic(num_actions=5, num_agents=n_blue, hidden=hidden)
+    red_net = ActorCritic(num_actions=5, num_agents=n_red, hidden=hidden)
+    tx = optax.chain(
+        optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+        optax.adam(ppo_cfg.lr),
+    )
+    obs_dtype = (
+        jnp.dtype(ppo_cfg.obs_buffer_dtype)
+        if ppo_cfg.obs_buffer_dtype
+        else None
+    )
+
+    def _store(obs):
+        return obs if obs_dtype is None else obs.astype(obs_dtype)
+
+    def init_fn(key):
+        k_env, k_b, k_r = jax.random.split(key, 3)
+        env_states, obs = env.reset(k_env)
+        bp = blue_net.init(k_b, obs[:1])
+        rp = red_net.init(k_r, obs[:1])
+        return SelfPlayState(
+            blue_params=bp,
+            red_params=rp,
+            blue_opt=tx.init(bp),
+            red_opt=tx.init(rp),
+            states=RolloutCarry(
+                env=env_states,
+                run_return=jnp.zeros((env.num_envs,), jnp.float32),
+            ),
+        )
+
+    def _rollout(bp, rp, carry_in: RolloutCarry, key):
+        def body(carry, _):
+            states, key, run_ret, ep_sum, ep_cnt = carry
+            key, k_b, k_r = jax.random.split(key, 3)
+            obs = jax.vmap(env.encode_one)(states)
+            b_logits, b_value = blue_net.apply(bp, obs)
+            r_logits, r_value = red_net.apply(rp, obs)
+            b_act, b_logp = sample_actions(k_b, b_logits)
+            r_act, r_logp = sample_actions(k_r, r_logits)
+            actions = jnp.concatenate([b_act, r_act], axis=1)
+            states, step_obs, reward, term, trunc = env.step(states, actions)
+            done = term | trunc
+            run_ret = run_ret + reward
+            ep_sum = ep_sum + jnp.where(done, run_ret, 0.0).sum()
+            ep_cnt = ep_cnt + done.sum()
+            run_ret = jnp.where(done, 0.0, run_ret)
+            boot = jax.lax.cond(
+                jnp.any(trunc),
+                lambda o: (blue_net.apply(bp, o)[1], red_net.apply(rp, o)[1]),
+                lambda o: (
+                    jnp.zeros(o.shape[:1], jnp.float32),
+                    jnp.zeros(o.shape[:1], jnp.float32),
+                ),
+                step_obs,
+            )
+            so = _store(obs)
+            tb = _Traj(so, b_act, b_logp, b_value, reward,
+                       term.astype(jnp.float32), trunc.astype(jnp.float32),
+                       boot[0])
+            # red plays the adversarial objective: minus the blue-centric
+            # team reward
+            tr = _Traj(so, r_act, r_logp, r_value, -reward,
+                       term.astype(jnp.float32), trunc.astype(jnp.float32),
+                       boot[1])
+            return (states, key, run_ret, ep_sum, ep_cnt), (tb, tr)
+
+        init = (carry_in.env, key, carry_in.run_return,
+                jnp.float32(0.0), jnp.int32(0))
+        (env_states, key, run_ret, ep_sum, ep_cnt), (tb, tr) = jax.lax.scan(
+            body, init, None, length=ppo_cfg.rollout_len
+        )
+        last_obs = jax.vmap(env.encode_one)(env_states)
+        last_b = blue_net.apply(bp, last_obs)[1]
+        last_r = red_net.apply(rp, last_obs)[1]
+        stats = {
+            "episodes": ep_cnt,
+            "ep_return_mean": ep_sum / jnp.maximum(ep_cnt, 1),
+        }
+        return (
+            RolloutCarry(env=env_states, run_return=run_ret),
+            (tb, last_b),
+            (tr, last_r),
+            stats,
+        )
+
+    def _gae(traj: _Traj, last_value):
+        def body(carry, tr):
+            gae, next_value = carry
+            done = jnp.maximum(tr.terminated, tr.truncated)
+            nv = jnp.where(tr.truncated > 0, tr.boot_value, next_value)
+            delta = (
+                tr.reward + ppo_cfg.gamma * nv * (1.0 - tr.terminated)
+                - tr.value
+            )
+            gae = delta + ppo_cfg.gamma * ppo_cfg.gae_lambda * (1.0 - done) * gae
+            return (gae, tr.value), gae
+
+        (_, _), adv = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value), traj,
+            reverse=True,
+        )
+        return adv, adv + traj.value
+
+    def _update_side(net, params, opt_state, traj, last_value, key):
+        advantages, returns = _gae(traj, last_value)
+        T, B = traj.reward.shape
+        n = T * B
+        assert n % ppo_cfg.num_minibatches == 0
+        mb_size = n // ppo_cfg.num_minibatches
+        flat = (
+            traj.obs.reshape((n,) + traj.obs.shape[2:]),
+            traj.actions.reshape((n,) + traj.actions.shape[2:]),
+            traj.logp.reshape(n),
+            advantages.reshape(n),
+            returns.reshape(n),
+        )
+
+        def _loss(params, mb):
+            obs, actions, old_logp, adv_mb, ret_mb = mb
+            logits, value = net.apply(params, obs)
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            chosen = jnp.take_along_axis(
+                logp_all, actions[..., None], axis=-1
+            ).squeeze(-1)
+            logp = chosen.sum(axis=-1)
+            ratio = jnp.exp(logp - old_logp)
+            a = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
+            pg = -jnp.minimum(
+                ratio * a,
+                jnp.clip(ratio, 1 - ppo_cfg.clip_eps, 1 + ppo_cfg.clip_eps)
+                * a,
+            ).mean()
+            v = 0.5 * jnp.square(value - ret_mb).mean()
+            ent = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+            loss = pg + ppo_cfg.vf_coef * v - ppo_cfg.ent_coef * ent
+            return loss, {"loss": loss, "pg_loss": pg, "v_loss": v,
+                          "entropy": ent}
+
+        def one_epoch(carry, k_ep):
+            params, opt_state = carry
+            perm = jax.random.permutation(k_ep, n)
+            idxs = perm.reshape((ppo_cfg.num_minibatches, mb_size))
+
+            def one_mb(carry, idx):
+                params, opt_state = carry
+                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                (_, m), grads = jax.value_and_grad(_loss, has_aux=True)(
+                    params, mb
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), m
+
+            (params, opt_state), m = jax.lax.scan(
+                one_mb, (params, opt_state), idxs
+            )
+            return (params, opt_state), jax.tree_util.tree_map(
+                lambda x: x.mean(), m
+            )
+
+        (params, opt_state), m = jax.lax.scan(
+            one_epoch, (params, opt_state),
+            jax.random.split(key, ppo_cfg.num_epochs),
+        )
+        m = jax.tree_util.tree_map(lambda x: x[-1], m)
+        m["reward_per_step"] = traj.reward.mean()
+        return params, opt_state, m
+
+    def train_step(sp: SelfPlayState, key):
+        key, k_roll, k_bu, k_ru = jax.random.split(key, 4)
+        states, (tb, last_b), (tr, last_r), stats = _rollout(
+            sp.blue_params, sp.red_params, sp.states, k_roll
+        )
+        bp, bo, mb = _update_side(
+            blue_net, sp.blue_params, sp.blue_opt, tb, last_b, k_bu
+        )
+        rp, ro, mr = _update_side(
+            red_net, sp.red_params, sp.red_opt, tr, last_r, k_ru
+        )
+        metrics = {f"blue_{k}": v for k, v in mb.items()}
+        metrics.update({f"red_{k}": v for k, v in mr.items()})
+        metrics.update(stats)
+        return (
+            SelfPlayState(
+                blue_params=bp, red_params=rp, blue_opt=bo, red_opt=ro,
+                states=states,
+            ),
+            key,
+            metrics,
+        )
+
+    return init_fn, train_step, (blue_net, red_net)

@@ -1,0 +1,156 @@
+"""Self-play PPO on CtF MvN: BOTH teams learn (rl/selfplay.py).
+
+The reference tops out at training blue against its fixed scripted
+heuristics (reference scripts/main_mvn_ctf_rl.py); here red is a second
+learned policy optimizing the negated team reward, so the opponent
+curriculum is emergent.  After training, the blue policy is evaluated
+against the scripted red teams (rw and fight+capture) with the standard
+outcome evaluator to show transfer beyond the self-play opponent.
+
+Fast smoke:  python scripts/train_selfplay.py --cpu --iters 8 --envs 32
+Artifact:    python scripts/train_selfplay.py --iters 300 --envs 2048 \
+                 --out artifacts/ctf_selfplay
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+import jax  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--envs", type=int, default=512)
+    p.add_argument("--rollout-len", type=int, default=32)
+    p.add_argument("--minibatches", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--map", default="tests/assets/board.txt")
+    p.add_argument("--obs-buffer-dtype", default="int8")
+    p.add_argument("--out", default="out/selfplay")
+    p.add_argument("--eval-envs", type=int, default=512)
+    p.add_argument("--eval-steps", type=int, default=400)
+    p.add_argument("--iters-per-call", type=int, default=1)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--no-tensorboard", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+    from gym_multigrid_tpu.rl.evaluate import evaluate_ctf
+    from gym_multigrid_tpu.rl.ppo import PPOConfig
+    from gym_multigrid_tpu.rl.selfplay import (
+        make_ctf_selfplay_batch,
+        make_selfplay_ppo,
+    )
+    from gym_multigrid_tpu.utils.checkpoint import save_pytree
+    from gym_multigrid_tpu.utils.logging import MetricsLogger
+
+    map_path = args.map if os.path.isabs(args.map) else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), args.map
+    )
+
+    def ctf_cfg(opponents):
+        return CtfConfig.from_map_path(
+            map_path,
+            num_blue_agents=2,
+            num_red_agents=2,
+            variant="mvn",
+            enemy_policies=tuple(PolicySpec(k) for k in opponents),
+            observation_option="flattened",
+        )
+
+    cfg = ctf_cfg(("rw", "rw"))  # enemy_policies unused in self-play
+    env = make_ctf_selfplay_batch(cfg, args.envs)
+    ppo_cfg = PPOConfig(
+        lr=args.lr,
+        ent_coef=args.ent_coef,
+        rollout_len=args.rollout_len,
+        num_epochs=args.epochs,
+        num_minibatches=args.minibatches,
+        obs_buffer_dtype=args.obs_buffer_dtype or None,
+    )
+    init_fn, train_step, (blue_net, red_net) = make_selfplay_ppo(
+        env, cfg, ppo_cfg
+    )
+    sp = init_fn(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    def multi(sp, key, n):
+        def body(carry, _):
+            sp, key = carry
+            sp, key, m = train_step(sp, key)
+            return (sp, key), m
+
+        (sp, key), ms = jax.lax.scan(body, (sp, key), None, length=n)
+        return sp, key, ms
+
+    chunk_fns = {}
+    logger = MetricsLogger(
+        os.path.join(args.out, "logs"),
+        use_tensorboard=not args.no_tensorboard,
+    )
+    log_keys = ("blue_loss", "red_loss", "blue_reward_per_step",
+                "blue_entropy", "red_entropy", "ep_return_mean", "episodes")
+    steps_per_iter = args.envs * args.rollout_len
+    it = 0
+    while it < args.iters:
+        n = min(max(1, args.iters_per_call), args.iters - it)
+        if n not in chunk_fns:
+            chunk_fns[n] = jax.jit(lambda sp, k, _n=n: multi(sp, k, _n))
+        t0 = time.perf_counter()
+        sp, key, ms = chunk_fns[n](sp, key)
+        jax.block_until_ready(ms["blue_loss"])
+        sps = steps_per_iter * n / (time.perf_counter() - t0)
+        for j in range(n):
+            row = {k: ms[k][j] for k in log_keys}
+            row["env_steps_per_sec"] = sps
+            logger.log(it + j, row)
+            if (it + j) % 10 == 0 or it + j == args.iters - 1:
+                print(
+                    f"iter {it + j:4d}  blue_loss "
+                    f"{float(ms['blue_loss'][j]):+.4f}  red_loss "
+                    f"{float(ms['red_loss'][j]):+.4f}  blue r/step "
+                    f"{float(ms['blue_reward_per_step'][j]):+.4f}  "
+                    f"env-steps/s {sps:,.0f}"
+                )
+        it += n
+    logger.close()
+
+    os.makedirs(os.path.join(args.out, "models"), exist_ok=True)
+    save_pytree(
+        os.path.join(args.out, "models", "selfplay"),
+        {"blue_params": sp.blue_params, "red_params": sp.red_params},
+    )
+
+    # transfer eval: self-play blue vs the scripted red teams
+    results = {}
+    for name, opp in (("rw", ("rw", "rw")),
+                      ("fight_capture", ("fight", "capture"))):
+        results[name] = evaluate_ctf(
+            ctf_cfg(opp), args.eval_envs, blue_net, sp.blue_params,
+            jax.random.PRNGKey(7), args.eval_steps,
+        )
+        print(f"eval vs {name}: " + json.dumps(results[name]))
+    with open(os.path.join(args.out, "eval.json"), "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    print(f"artifacts in {args.out}")
+
+
+if __name__ == "__main__":
+    main()
