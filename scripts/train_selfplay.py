@@ -7,9 +7,15 @@ curriculum is emergent.  After training, the blue policy is evaluated
 against the scripted red teams (rw and fight+capture) with the standard
 outcome evaluator to show transfer beyond the self-play opponent.
 
+League mode (--pool-size N) mixes in frozen past red snapshots: a
+fraction of the env batch plays a pool opponent sampled each step, which
+is the standard guard against self-play cycling.
+
 Fast smoke:  python scripts/train_selfplay.py --cpu --iters 8 --envs 32
 Artifact:    python scripts/train_selfplay.py --iters 300 --envs 2048 \
                  --out artifacts/ctf_selfplay
+League:      python scripts/train_selfplay.py --iters 300 --envs 2048 \
+                 --pool-size 8 --league-fraction 0.5 --snapshot-every 25
 """
 
 from __future__ import annotations
@@ -41,6 +47,13 @@ def main(argv=None):
     p.add_argument("--eval-envs", type=int, default=512)
     p.add_argument("--eval-steps", type=int, default=400)
     p.add_argument("--iters-per-call", type=int, default=1)
+    p.add_argument("--pool-size", type=int, default=0,
+                   help="league mode: frozen red snapshots to keep (0 = "
+                        "plain self-play)")
+    p.add_argument("--league-fraction", type=float, default=0.5,
+                   help="fraction of envs playing a pool opponent")
+    p.add_argument("--snapshot-every", type=int, default=25,
+                   help="iterations between red snapshots into the pool")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
     args = p.parse_args(argv)
@@ -55,6 +68,7 @@ def main(argv=None):
     from gym_multigrid_tpu.rl.ppo import PPOConfig
     from gym_multigrid_tpu.rl.selfplay import (
         make_ctf_selfplay_batch,
+        make_league_ppo,
         make_selfplay_ppo,
     )
     from gym_multigrid_tpu.utils.checkpoint import save_pytree
@@ -84,9 +98,19 @@ def main(argv=None):
         num_minibatches=args.minibatches,
         obs_buffer_dtype=args.obs_buffer_dtype or None,
     )
-    init_fn, train_step, (blue_net, red_net) = make_selfplay_ppo(
-        env, cfg, ppo_cfg
-    )
+    if args.pool_size:
+        init_fn, train_step, snapshot_fn, (blue_net, red_net) = (
+            make_league_ppo(
+                env, cfg, ppo_cfg, pool_size=args.pool_size,
+                league_fraction=args.league_fraction,
+            )
+        )
+        snapshot_fn = jax.jit(snapshot_fn)
+    else:
+        init_fn, train_step, (blue_net, red_net) = make_selfplay_ppo(
+            env, cfg, ppo_cfg
+        )
+        snapshot_fn = None
     sp = init_fn(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
 
@@ -110,6 +134,11 @@ def main(argv=None):
     it = 0
     while it < args.iters:
         n = min(max(1, args.iters_per_call), args.iters - it)
+        if snapshot_fn is not None:
+            # align chunks to snapshot boundaries so the pool write
+            # happens at exactly every snapshot_every iterations
+            to_snap = args.snapshot_every - it % args.snapshot_every
+            n = min(n, to_snap)
         if n not in chunk_fns:
             chunk_fns[n] = jax.jit(lambda sp, k, _n=n: multi(sp, k, _n))
         t0 = time.perf_counter()
@@ -129,12 +158,16 @@ def main(argv=None):
                     f"env-steps/s {sps:,.0f}"
                 )
         it += n
+        if snapshot_fn is not None and it % args.snapshot_every == 0:
+            sp = snapshot_fn(sp)
     logger.close()
 
+    params_of = sp.sp if args.pool_size else sp
     os.makedirs(os.path.join(args.out, "models"), exist_ok=True)
     save_pytree(
         os.path.join(args.out, "models", "selfplay"),
-        {"blue_params": sp.blue_params, "red_params": sp.red_params},
+        {"blue_params": params_of.blue_params,
+         "red_params": params_of.red_params},
     )
 
     # transfer eval: self-play blue vs the scripted red teams
@@ -142,7 +175,7 @@ def main(argv=None):
     for name, opp in (("rw", ("rw", "rw")),
                       ("fight_capture", ("fight", "capture"))):
         results[name] = evaluate_ctf(
-            ctf_cfg(opp), args.eval_envs, blue_net, sp.blue_params,
+            ctf_cfg(opp), args.eval_envs, blue_net, params_of.blue_params,
             jax.random.PRNGKey(7), args.eval_steps,
         )
         print(f"eval vs {name}: " + json.dumps(results[name]))

@@ -14,6 +14,7 @@ from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
 from gym_multigrid_tpu.rl.ppo import PPOConfig
 from gym_multigrid_tpu.rl.selfplay import (
     make_ctf_selfplay_batch,
+    make_league_ppo,
     make_selfplay_ppo,
 )
 
@@ -96,3 +97,68 @@ def test_selfplay_deterministic():
     b, _, mb = step(sp, jax.random.PRNGKey(1))
     assert _delta(a.blue_params, b.blue_params) == 0
     assert float(ma["blue_loss"]) == float(mb["blue_loss"])
+
+
+def _league_setup(num_envs=8, pool_size=3, league_fraction=0.5,
+                  **ppo_kwargs):
+    cfg = _cfg()
+    env = make_ctf_selfplay_batch(cfg, num_envs)
+    ppo_cfg = PPOConfig(rollout_len=8, **ppo_kwargs)
+    return cfg, env, make_league_ppo(
+        env, cfg, ppo_cfg, pool_size=pool_size,
+        league_fraction=league_fraction, hidden=(32, 32),
+    )
+
+
+def test_league_train_step_and_snapshot():
+    cfg, env, (init_fn, train_step, snapshot_fn, nets) = _league_setup(
+        num_epochs=1, num_minibatches=2
+    )
+    ls = init_fn(jax.random.PRNGKey(0))
+    assert int(ls.filled) == 1
+    step = jax.jit(train_step)
+    ls2, key, m = step(ls, jax.random.PRNGKey(1))
+    for k in ("blue_loss", "red_loss", "blue_reward_selfplay",
+              "blue_reward_league", "league_opponent"):
+        assert np.isfinite(float(m[k])), k
+    # both sides updated; pool untouched by a plain train step
+    assert _delta(ls.sp.blue_params, ls2.sp.blue_params) > 0
+    assert _delta(ls.sp.red_params, ls2.sp.red_params) > 0
+    assert _delta(ls.pool, ls2.pool) == 0
+    # snapshot writes the live red into the ring slot and advances it
+    ls3 = jax.jit(snapshot_fn)(ls2)
+    assert int(ls3.filled) == 2
+    assert int(ls3.slot) == 2 % 3
+    written = jax.tree_util.tree_map(lambda x: x[1], ls3.pool)
+    assert _delta(written, ls2.sp.red_params) == 0
+
+
+def test_league_red_trains_only_on_selfplay_slice():
+    # changing ONLY the pool opponent must not change red's update (red
+    # trains on the self-play slice; per-env transitions are independent)
+    cfg, env, (init_fn, train_step, snapshot_fn, nets) = _league_setup(
+        num_epochs=1, num_minibatches=2
+    )
+    ls = init_fn(jax.random.PRNGKey(0))
+    perturbed = ls._replace(
+        pool=jax.tree_util.tree_map(lambda x: x + 0.05, ls.pool)
+    )
+    step = jax.jit(train_step)
+    a, _, ma = step(ls, jax.random.PRNGKey(1))
+    b, _, mb = step(perturbed, jax.random.PRNGKey(1))
+    assert _delta(a.sp.red_params, b.sp.red_params) == 0
+    assert float(ma["red_loss"]) == float(mb["red_loss"])
+    # ...while the league slice DID see a different opponent
+    assert float(ma["blue_reward_league"]) != pytest.approx(
+        float(mb["blue_reward_league"])
+    ) or _delta(a.sp.blue_params, b.sp.blue_params) > 0
+
+
+def test_league_validation():
+    cfg = _cfg()
+    env = make_ctf_selfplay_batch(cfg, 8)
+    with pytest.raises(ValueError, match="league_fraction"):
+        make_league_ppo(env, cfg, PPOConfig(rollout_len=8), pool_size=2,
+                        league_fraction=1.0)
+    with pytest.raises(ValueError, match="pool_size"):
+        make_league_ppo(env, cfg, PPOConfig(rollout_len=8), pool_size=0)
