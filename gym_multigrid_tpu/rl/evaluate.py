@@ -83,6 +83,72 @@ def evaluate(
     }
 
 
+def _outcome_acc0(num_envs: int):
+    return {
+        "episodes": jnp.int32(0),
+        "wins": jnp.int32(0),
+        "losses": jnp.int32(0),
+        "draws": jnp.int32(0),
+        "ep_return_sum": jnp.float32(0.0),
+        "ep_len_sum": jnp.int32(0),
+        "reward_sum": jnp.float32(0.0),
+        "run_return": jnp.zeros((num_envs,), jnp.float32),
+        "run_len": jnp.zeros((num_envs,), jnp.int32),
+    }
+
+
+def _outcome_update(acc, rew, term, trunc, info):
+    """Blue-centric outcome classification + episode accounting.
+
+    Outcome of a completed episode: win — blue captured the red flag
+    (and not vice versa that step); loss — red captured the blue flag,
+    or the episode terminated without any capture (every non-capture
+    terminal is a blue failure, envs/ctf.py:456-506); draw — truncation
+    at max_steps, or simultaneous captures.  Mirrors the reference's
+    ``game_stats`` bookkeeping (reference ctf.py:43-48, 1068-1073).
+    """
+    done = term | trunc
+    rf = info["red_flag_captured"]
+    bf = info["blue_flag_captured"]
+    term_only = term & ~rf & ~bf
+    win = done & rf & ~bf
+    loss = done & ~win & (bf | term_only)
+    draw = done & ~win & ~loss
+
+    run_ret = acc["run_return"] + rew.astype(jnp.float32)
+    run_len = acc["run_len"] + 1
+    return done, {
+        "episodes": acc["episodes"] + done.sum(),
+        "wins": acc["wins"] + win.sum(),
+        "losses": acc["losses"] + loss.sum(),
+        "draws": acc["draws"] + draw.sum(),
+        "ep_return_sum": acc["ep_return_sum"]
+        + jnp.where(done, run_ret, 0.0).sum(),
+        "ep_len_sum": acc["ep_len_sum"]
+        + jnp.where(done, run_len, 0).sum(),
+        "reward_sum": acc["reward_sum"] + rew.sum(),
+        "run_return": jnp.where(done, 0.0, run_ret),
+        "run_len": jnp.where(done, 0, run_len),
+    }
+
+
+def _outcome_summary(acc, num_steps: int, num_envs: int) -> dict[str, Any]:
+    episodes = int(acc["episodes"])
+    d = max(episodes, 1)
+    return {
+        "episodes": episodes,
+        "wins": int(acc["wins"]),
+        "losses": int(acc["losses"]),
+        "draws": int(acc["draws"]),
+        "win_rate": int(acc["wins"]) / d,
+        "loss_rate": int(acc["losses"]) / d,
+        "draw_rate": int(acc["draws"]) / d,
+        "ep_return_mean": float(acc["ep_return_sum"]) / d,
+        "ep_len_mean": int(acc["ep_len_sum"]) / d,
+        "reward_per_step": float(acc["reward_sum"]) / (num_steps * num_envs),
+    }
+
+
 def evaluate_ctf(
     cfg,
     num_envs: int,
@@ -132,29 +198,7 @@ def evaluate_ctf(
             new_states, _, rew, term, trunc, info = step_b(
                 states, actions.astype(jnp.int32)
             )
-            done = term | trunc
-            rf = info["red_flag_captured"]
-            bf = info["blue_flag_captured"]
-            term_only = term & ~rf & ~bf
-            win = done & rf & ~bf
-            loss = done & ~win & (bf | term_only)
-            draw = done & ~win & ~loss
-
-            run_ret = acc["run_return"] + rew.astype(jnp.float32)
-            run_len = acc["run_len"] + 1
-            acc = {
-                "episodes": acc["episodes"] + done.sum(),
-                "wins": acc["wins"] + win.sum(),
-                "losses": acc["losses"] + loss.sum(),
-                "draws": acc["draws"] + draw.sum(),
-                "ep_return_sum": acc["ep_return_sum"]
-                + jnp.where(done, run_ret, 0.0).sum(),
-                "ep_len_sum": acc["ep_len_sum"]
-                + jnp.where(done, run_len, 0).sum(),
-                "reward_sum": acc["reward_sum"] + rew.sum(),
-                "run_return": jnp.where(done, 0.0, run_ret),
-                "run_len": jnp.where(done, 0, run_len),
-            }
+            done, acc = _outcome_update(acc, rew, term, trunc, info)
             # Auto-reset from each env's own post-step key (same scheme as
             # BatchedEnv.step) so streams stay independent across resets.
             reset_keys = jax.vmap(jax.random.split)(new_states.key)
@@ -162,37 +206,77 @@ def evaluate_ctf(
             new_states = _where_done(done, fresh, new_states)
             return (new_states, key, acc), None
 
-        acc0 = {
-            "episodes": jnp.int32(0),
-            "wins": jnp.int32(0),
-            "losses": jnp.int32(0),
-            "draws": jnp.int32(0),
-            "ep_return_sum": jnp.float32(0.0),
-            "ep_len_sum": jnp.int32(0),
-            "reward_sum": jnp.float32(0.0),
-            "run_return": jnp.zeros((num_envs,), jnp.float32),
-            "run_len": jnp.zeros((num_envs,), jnp.int32),
-        }
         (_, _, acc), _ = jax.lax.scan(
-            body, (states, k_roll, acc0), None, length=num_steps
+            body, (states, k_roll, _outcome_acc0(num_envs)), None,
+            length=num_steps,
         )
         return acc
 
     acc = jax.jit(run)(params, key)
-    episodes = int(acc["episodes"])
-    d = max(episodes, 1)
-    return {
-        "episodes": episodes,
-        "wins": int(acc["wins"]),
-        "losses": int(acc["losses"]),
-        "draws": int(acc["draws"]),
-        "win_rate": int(acc["wins"]) / d,
-        "loss_rate": int(acc["losses"]) / d,
-        "draw_rate": int(acc["draws"]) / d,
-        "ep_return_mean": float(acc["ep_return_sum"]) / d,
-        "ep_len_mean": int(acc["ep_len_sum"]) / d,
-        "reward_per_step": float(acc["reward_sum"]) / (num_steps * num_envs),
-    }
+    return _outcome_summary(acc, num_steps, num_envs)
+
+
+def evaluate_ctf_match(
+    cfg,
+    num_envs: int,
+    blue_net,
+    blue_params,
+    red_net,
+    red_params,
+    key: jax.Array,
+    num_steps: int,
+    *,
+    deterministic: bool = True,
+) -> dict[str, Any]:
+    """Head-to-head CtF: TWO learned policies, one per team, via the
+    all-agent external-action step (`step_actions_fn`).  Outcomes are
+    blue-centric with the same classification as ``evaluate_ctf``.
+
+    This is how self-play/league snapshots are compared against each
+    other (e.g. final blue vs every pool red — an empirical game matrix);
+    the reference has no counterpart (its red is always scripted).
+    """
+    from gym_multigrid_tpu.envs.ctf import make_ctf
+
+    fns = make_ctf(cfg)
+    reset_b = jax.vmap(fns.reset_fn)
+    step_b = jax.vmap(fns.step_actions_fn)
+    obs_b = jax.vmap(fns.obs_fn)
+
+    def run(blue_params, red_params, key):
+        k_reset, k_roll = jax.random.split(key)
+        states = reset_b(jax.random.split(k_reset, num_envs))
+
+        def body(carry, _):
+            states, key, acc = carry
+            key, k_b, k_r = jax.random.split(key, 3)
+            obs = obs_b(states)
+            b_logits, _ = blue_net.apply(blue_params, obs)
+            r_logits, _ = red_net.apply(red_params, obs)
+            if deterministic:
+                b_act = jnp.argmax(b_logits, axis=-1)
+                r_act = jnp.argmax(r_logits, axis=-1)
+            else:
+                b_act = jax.random.categorical(k_b, b_logits, axis=-1)
+                r_act = jax.random.categorical(k_r, r_logits, axis=-1)
+            actions = jnp.concatenate(
+                [b_act, r_act], axis=1
+            ).astype(jnp.int32)
+            new_states, _, rew, term, trunc, info = step_b(states, actions)
+            done, acc = _outcome_update(acc, rew, term, trunc, info)
+            reset_keys = jax.vmap(jax.random.split)(new_states.key)
+            fresh = reset_b(reset_keys[:, 0])
+            new_states = _where_done(done, fresh, new_states)
+            return (new_states, key, acc), None
+
+        (_, _, acc), _ = jax.lax.scan(
+            body, (states, k_roll, _outcome_acc0(num_envs)), None,
+            length=num_steps,
+        )
+        return acc
+
+    acc = jax.jit(run)(blue_params, red_params, key)
+    return _outcome_summary(acc, num_steps, num_envs)
 
 
 def load_params(model_path: str):

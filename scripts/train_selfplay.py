@@ -64,7 +64,7 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-    from gym_multigrid_tpu.rl.evaluate import evaluate_ctf
+    from gym_multigrid_tpu.rl.evaluate import evaluate_ctf, evaluate_ctf_match
     from gym_multigrid_tpu.rl.ppo import PPOConfig
     from gym_multigrid_tpu.rl.selfplay import (
         make_ctf_selfplay_batch,
@@ -170,8 +170,15 @@ def main(argv=None):
          "red_params": params_of.red_params},
     )
 
-    # transfer eval: self-play blue vs the scripted red teams
+    # head-to-head: final blue vs final red (learned, not scripted)
     results = {}
+    results["final_red"] = evaluate_ctf_match(
+        ctf_cfg(("rw", "rw")), args.eval_envs, blue_net,
+        params_of.blue_params, red_net, params_of.red_params,
+        jax.random.PRNGKey(11), args.eval_steps,
+    )
+    print("eval vs final_red: " + json.dumps(results["final_red"]))
+    # transfer eval: self-play blue vs the scripted red teams
     for name, opp in (("rw", ("rw", "rw")),
                       ("fight_capture", ("fight", "capture"))):
         results[name] = evaluate_ctf(

@@ -154,6 +154,25 @@ def test_league_red_trains_only_on_selfplay_slice():
     ) or _delta(a.sp.blue_params, b.sp.blue_params) > 0
 
 
+def test_evaluate_ctf_match_outcomes():
+    from gym_multigrid_tpu.rl.evaluate import evaluate_ctf_match
+    from gym_multigrid_tpu.rl.networks import ActorCritic
+
+    cfg = _cfg()
+    env = make_ctf_selfplay_batch(cfg, 4)
+    _, obs = env.reset(jax.random.PRNGKey(0))
+    net = ActorCritic(num_actions=5, num_agents=2, hidden=(16, 16))
+    bp = net.init(jax.random.PRNGKey(1), obs[:1])
+    rp = net.init(jax.random.PRNGKey(2), obs[:1])
+    r = evaluate_ctf_match(cfg, 16, net, bp, net, rp,
+                           jax.random.PRNGKey(3), 150,
+                           deterministic=False)
+    assert r["episodes"] > 0
+    assert r["wins"] + r["losses"] + r["draws"] == r["episodes"]
+    assert 0.0 <= r["win_rate"] <= 1.0
+    assert np.isfinite(r["ep_return_mean"])
+
+
 def test_league_validation():
     cfg = _cfg()
     env = make_ctf_selfplay_batch(cfg, 8)
