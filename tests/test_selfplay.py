@@ -173,6 +173,40 @@ def test_evaluate_ctf_match_outcomes():
     assert np.isfinite(r["ep_return_mean"])
 
 
+def test_selfplay_train_step_sharded_over_mesh():
+    """The self-play train step runs with the env batch sharded over the
+    'data' axis of an 8-device mesh (params/opt replicated) — the same
+    GSPMD pattern as the single-sided learner in __graft_entry__."""
+    from gym_multigrid_tpu.parallel.mesh import (
+        batch_tree_shardings,
+        make_mesh,
+        replicated,
+    )
+    from gym_multigrid_tpu.rl.selfplay import SelfPlayState
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8, model_parallel=1)
+    env, cfg, init_fn, train_step = _setup(
+        num_envs=16, num_epochs=1, num_minibatches=2
+    )
+    sp = init_fn(jax.random.PRNGKey(0))
+    rep = replicated(mesh)
+    sp_shard = SelfPlayState(
+        blue_params=jax.tree_util.tree_map(lambda _: rep, sp.blue_params),
+        red_params=jax.tree_util.tree_map(lambda _: rep, sp.red_params),
+        blue_opt=jax.tree_util.tree_map(lambda _: rep, sp.blue_opt),
+        red_opt=jax.tree_util.tree_map(lambda _: rep, sp.red_opt),
+        states=batch_tree_shardings(sp.states, mesh),
+    )
+    sp = jax.device_put(sp, sp_shard)
+    step = jax.jit(train_step, in_shardings=(sp_shard, rep))
+    sp2, key, m = step(sp, jax.device_put(jax.random.PRNGKey(1), rep))
+    assert np.isfinite(float(m["blue_loss"]))
+    assert np.isfinite(float(m["red_loss"]))
+    env_leaf = jax.tree_util.tree_leaves(sp2.states.env)[0]
+    assert not env_leaf.sharding.is_fully_replicated
+
+
 def test_league_validation():
     cfg = _cfg()
     env = make_ctf_selfplay_batch(cfg, 8)
