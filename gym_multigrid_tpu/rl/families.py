@@ -35,9 +35,14 @@ def make_family_batch(
     num_envs: int,
     use_pallas: bool = False,
     *,
-    # ctf knobs
+    # ctf/maze knobs
     map_path: str | None = None,
     opponents: tuple[str, ...] = ("rw", "rw"),
+    # observation option for ctf ("flattened"/"map"/"positional"-dict is
+    # not batchable for the MLP/conv learners; default "flattened") and
+    # maze ("map"/"positional").  "map" pairs with
+    # rl.networks.ConvActorCritic.
+    obs_option: str | None = None,
     # wildfire knobs
     wf_size: int = 8,
     wf_fires: int = 1,
@@ -72,7 +77,7 @@ def make_family_batch(
             num_red_agents=len(opponents),
             variant="mvn",
             enemy_policies=tuple(PolicySpec(k) for k in opponents),
-            observation_option="flattened",
+            observation_option=obs_option or "flattened",
         )
         env = pv.make_ctf_batch(cfg, num_envs, use_pallas=use_pallas)
     elif family == "maze":
@@ -82,6 +87,7 @@ def make_family_batch(
             map_path
             or os.path.join(_REPO_ROOT, "tests/assets/board_maze.txt"),
             max_steps=100,
+            **({"observation_option": obs_option} if obs_option else {}),
         )
         env = pv.make_maze_batch(cfg, num_envs, use_pallas=use_pallas)
     elif family == "wildfire":

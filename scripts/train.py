@@ -52,6 +52,19 @@ def main() -> None:
         help="store rollout obs in this integer dtype (e.g. int8) — 4x "
         "smaller PPO buffer, numerically identical for these small-int obs",
     )
+    p.add_argument(
+        "--net",
+        default="mlp",
+        choices=("mlp", "conv"),
+        help="policy torso: flattened MLP or ConvActorCritic (use with "
+        "--obs-option map for CtF/Maze grid observations)",
+    )
+    p.add_argument(
+        "--obs-option",
+        default=None,
+        help="ctf: flattened/map; maze: map/positional (default: the "
+        "family's trained-artifact option)",
+    )
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
@@ -74,7 +87,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from gym_multigrid_tpu.rl.families import make_family_batch
-    from gym_multigrid_tpu.rl.networks import ActorCritic
+    from gym_multigrid_tpu.rl.networks import ActorCritic, ConvActorCritic
     from gym_multigrid_tpu.rl.ppo import PPOConfig
     from gym_multigrid_tpu.rl.trainer import train_loop
 
@@ -83,13 +96,19 @@ def main() -> None:
         args.envs,
         args.pallas,
         opponents=tuple(args.opponents.split(",")),
+        obs_option=args.obs_option,
         burn_penalty=args.burn_penalty,
         wf_size=args.wf_size,
         wf_fires=args.wf_fires,
         wf_spread=args.wf_spread,
         wf_max_steps=args.wf_max_steps,
     )
-    net = ActorCritic(num_actions=num_actions, num_agents=policy_agents)
+    if args.net == "conv":
+        net = ConvActorCritic(
+            num_actions=num_actions, num_agents=policy_agents
+        )
+    else:
+        net = ActorCritic(num_actions=num_actions, num_agents=policy_agents)
     ppo_cfg = PPOConfig(
         rollout_len=args.rollout_len,
         num_epochs=args.epochs,

@@ -132,3 +132,42 @@ def test_obs_buffer_compaction_rejects_float_obs():
 def test_obs_buffer_dtype_must_be_integer():
     with pytest.raises(ValueError, match="integer dtype"):
         _setup(obs_buffer_dtype="float16")
+
+
+def test_conv_actor_critic_shapes_and_ppo_on_map_obs():
+    """ConvActorCritic: one-hot path on integer class maps (CtF 'map'
+    observation option) and channel path on (B,H,W,C) grids; drops into
+    the same PPO learner unchanged (rl/networks.py)."""
+    from gym_multigrid_tpu.rl.families import make_family_batch
+    from gym_multigrid_tpu.rl.networks import ConvActorCritic
+
+    net = ConvActorCritic(num_actions=5, num_agents=2, features=(8,),
+                          hidden=32)
+    # integer class-map input
+    obs_int = jnp.zeros((4, 10, 10), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), obs_int)
+    logits, value = net.apply(params, obs_int)
+    assert logits.shape == (4, 2, 5) and value.shape == (4,)
+    # multi-channel input gets its own params (different torso input)
+    obs_ch = jnp.zeros((4, 10, 10, 3), jnp.float32)
+    params_ch = net.init(jax.random.PRNGKey(0), obs_ch)
+    logits, value = net.apply(params_ch, obs_ch)
+    assert logits.shape == (4, 2, 5) and value.shape == (4,)
+    with pytest.raises(ValueError, match="ConvActorCritic"):
+        net.init(jax.random.PRNGKey(0), jnp.zeros((4, 10), jnp.int32))
+
+    # full PPO train step on the CtF map observation option
+    env, cfg, num_actions, policy_agents = make_family_batch(
+        "ctf", 8, obs_option="map"
+    )
+    cnet = ConvActorCritic(num_actions=num_actions,
+                           num_agents=policy_agents, features=(8,),
+                           hidden=32)
+    init_fn, train_step = make_ppo(env, cnet, PPOConfig(
+        rollout_len=4, num_minibatches=2))
+    params, opt_state, states = init_fn(jax.random.PRNGKey(0))
+    p2, o2, s2, key, metrics = jax.jit(train_step)(
+        params, opt_state, states, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert _leaf_delta(params, p2) > 0
