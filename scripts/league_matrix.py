@@ -1,0 +1,90 @@
+"""Empirical game matrix for a league run: final blue vs every red in
+the frozen-opponent pool (plus the final live red).
+
+The pool is the opponent *history* — scoring blue against each slot
+shows whether it stayed strong against past strategies (the failure mode
+plain self-play is prone to is beating only the latest red).  Uses
+`rl.evaluate.evaluate_ctf_match` (learned vs learned; the reference has
+no counterpart — its red team is always scripted).
+
+    python scripts/league_matrix.py artifacts/ctf_league [--envs 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+import jax  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("run_dir", help="a scripts/train_selfplay.py --out dir")
+    p.add_argument("--envs", type=int, default=256)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--map", default="tests/assets/board.txt")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+    from gym_multigrid_tpu.rl.evaluate import evaluate_ctf_match
+    from gym_multigrid_tpu.rl.networks import ActorCritic
+    from gym_multigrid_tpu.utils.checkpoint import load_pytree
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    map_path = args.map if os.path.isabs(args.map) else os.path.join(
+        root, args.map
+    )
+    ck = load_pytree(os.path.join(args.run_dir, "models", "selfplay"))
+    if "pool" not in ck:
+        raise SystemExit(
+            f"{args.run_dir} has no pool — train with --pool-size to get "
+            "a league snapshot"
+        )
+    cfg = CtfConfig.from_map_path(
+        map_path,
+        num_blue_agents=2,
+        num_red_agents=2,
+        variant="mvn",
+        enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
+        observation_option="flattened",
+    )
+    net = ActorCritic(num_actions=5, num_agents=cfg.num_blue_agents)
+    pool_size = jax.tree_util.tree_leaves(ck["pool"])[0].shape[0]
+    rows = {}
+    opponents = [
+        (f"pool_{i}",
+         jax.tree_util.tree_map(lambda x, _i=i: x[_i], ck["pool"]))
+        for i in range(pool_size)
+    ] + [("final_red", ck["red_params"])]
+    for name, rp in opponents:
+        r = evaluate_ctf_match(
+            cfg, args.envs, net, ck["blue_params"], net, rp,
+            jax.random.PRNGKey(17), args.steps,
+        )
+        rows[name] = r
+        print(
+            f"{name:>10}: win {r['win_rate']:.3f}  loss "
+            f"{r['loss_rate']:.3f}  draw {r['draw_rate']:.3f}  "
+            f"({r['episodes']} episodes)"
+        )
+    out = os.path.join(args.run_dir, "league_matrix.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

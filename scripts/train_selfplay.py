@@ -164,11 +164,17 @@ def main(argv=None):
 
     params_of = sp.sp if args.pool_size else sp
     os.makedirs(os.path.join(args.out, "models"), exist_ok=True)
-    save_pytree(
-        os.path.join(args.out, "models", "selfplay"),
-        {"blue_params": params_of.blue_params,
-         "red_params": params_of.red_params},
-    )
+    snapshot = {
+        "blue_params": params_of.blue_params,
+        "red_params": params_of.red_params,
+    }
+    if args.pool_size:
+        # the frozen-opponent pool (filled slots only) — lets
+        # scripts/league_matrix.py score blue against every past red
+        snapshot["pool"] = jax.tree_util.tree_map(
+            lambda x: x[: int(sp.filled)], sp.pool
+        )
+    save_pytree(os.path.join(args.out, "models", "selfplay"), snapshot)
 
     # head-to-head: final blue vs final red (learned, not scripted)
     results = {}
