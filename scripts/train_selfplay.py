@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
 def main(argv=None):
@@ -54,6 +55,13 @@ def main(argv=None):
                    help="fraction of envs playing a pool opponent")
     p.add_argument("--snapshot-every", type=int, default=25,
                    help="iterations between red snapshots into the pool")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <out>/models/selfplay_state.npz "
+                        "(full state: both nets, Adam moments, pool, env "
+                        "batch, RNG key, iteration)")
+    p.add_argument("--checkpoint-every", type=int, default=50,
+                   help="iterations between full-state checkpoints "
+                        "(0 = only at the end)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
     args = p.parse_args(argv)
@@ -111,8 +119,31 @@ def main(argv=None):
             env, cfg, ppo_cfg
         )
         snapshot_fn = None
+    from gym_multigrid_tpu.utils.checkpoint import load_pytree
+
+    state_path = os.path.join(args.out, "models", "selfplay_state")
     sp = init_fn(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
+    start_it = 0
+    if args.resume and os.path.exists(state_path + ".npz"):
+        snap = load_pytree(state_path)
+        ref_td = jax.tree_util.tree_structure((sp, key))
+        got_td = jax.tree_util.tree_structure((snap["state"], snap["key"]))
+        if ref_td != got_td:
+            raise SystemExit(
+                f"--resume: snapshot at {state_path}.npz was written with "
+                "different flags (mode/pool/envs/net) — train with the "
+                "same configuration or start fresh"
+            )
+        sp, key, start_it = snap["state"], snap["key"], int(snap["iter"])
+        print(f"resumed full self-play state at iter {start_it} "
+              f"from {state_path}.npz")
+
+    def save_state(it):
+        os.makedirs(os.path.join(args.out, "models"), exist_ok=True)
+        save_pytree(state_path, {
+            "state": sp, "key": key, "iter": jnp.int32(it),
+        })
 
     def multi(sp, key, n):
         def body(carry, _):
@@ -131,7 +162,7 @@ def main(argv=None):
     log_keys = ("blue_loss", "red_loss", "blue_reward_per_step",
                 "blue_entropy", "red_entropy", "ep_return_mean", "episodes")
     steps_per_iter = args.envs * args.rollout_len
-    it = 0
+    it = start_it
     while it < args.iters:
         n = min(max(1, args.iters_per_call), args.iters - it)
         if snapshot_fn is not None:
@@ -160,7 +191,10 @@ def main(argv=None):
         it += n
         if snapshot_fn is not None and it % args.snapshot_every == 0:
             sp = snapshot_fn(sp)
+        if args.checkpoint_every and it % args.checkpoint_every == 0:
+            save_state(it)
     logger.close()
+    save_state(it)
 
     params_of = sp.sp if args.pool_size else sp
     os.makedirs(os.path.join(args.out, "models"), exist_ok=True)
