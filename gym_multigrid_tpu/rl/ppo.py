@@ -70,6 +70,145 @@ class Transition(NamedTuple):
     boot_value: jax.Array
 
 
+def make_update_fn(net, tx, cfg: PPOConfig):
+    """The PPO update as a standalone pure function:
+
+        update(params, opt_state, traj: Transition, last_value, key)
+            -> (params, opt_state, metrics)
+
+    GAE + SB3-semantics minibatched clipped update + diagnostics, shared
+    by the single-sided learner (``make_ppo``) and both sides of the
+    self-play/league learners (rl/selfplay.py) so the update math exists
+    exactly once.
+    """
+
+    def _gae(traj: Transition, last_value):
+        def body(carry, tr):
+            gae, next_value = carry
+            done = jnp.maximum(tr.terminated, tr.truncated)
+            # True terminals zero the bootstrap; truncations bootstrap from
+            # the pre-reset final observation's value.
+            nv = jnp.where(tr.truncated > 0, tr.boot_value, next_value)
+            delta = (
+                tr.reward
+                + cfg.gamma * nv * (1.0 - tr.terminated)
+                - tr.value
+            )
+            # Advantage accumulation never crosses an episode boundary.
+            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - done) * gae
+            return (gae, tr.value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj.value
+        return advantages, returns
+
+    def _loss(params, mb):
+        """Clipped PPO loss over one flat minibatch of (n,) samples."""
+        obs, actions, old_logp, advantages, returns = mb
+        logits, value = net.apply(params, obs)
+
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        chosen = jnp.take_along_axis(
+            logp_all, actions[..., None], axis=-1
+        ).squeeze(-1)
+        logp = chosen.sum(axis=-1)
+
+        ratio = jnp.exp(logp - old_logp)
+        # Advantage normalization is per-minibatch, matching SB3's
+        # normalize_advantage=True update semantics.
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.square(value - returns).mean()
+        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        # SB3-style update diagnostics (ppo.py logs these per update).
+        approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
+        clip_fraction = (
+            (jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32).mean()
+        )
+        return loss, {
+            "loss": loss,
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": approx_kl,
+            "clip_fraction": clip_fraction,
+        }
+
+    def update(params, opt_state, traj: Transition, last_value, key):
+        """SB3 PPO update semantics (the reference training script's
+        learner, reference scripts/main_mvn_ctf_rl.py:30-34): per epoch
+        the (rollout_len × num_envs) buffer is shuffled and split into
+        ``num_minibatches`` slices, one clipped gradient step each."""
+        advantages, returns = _gae(traj, last_value)
+
+        T, B = traj.reward.shape
+        n = T * B
+        assert n % cfg.num_minibatches == 0, (
+            f"rollout_len*num_envs={n} not divisible by "
+            f"num_minibatches={cfg.num_minibatches}"
+        )
+        mb_size = n // cfg.num_minibatches
+
+        flat = (
+            traj.obs.reshape((n,) + traj.obs.shape[2:]),
+            traj.actions.reshape((n,) + traj.actions.shape[2:]),
+            traj.logp.reshape(n),
+            advantages.reshape(n),
+            returns.reshape(n),
+        )
+
+        def one_epoch(carry, k_ep):
+            params, opt_state = carry
+            # Fresh shuffle per epoch; static minibatch count -> scan over
+            # the (num_minibatches, mb_size) index slices.  Each minibatch
+            # gathers its own rows inside the scan body, so peak HBM holds
+            # the flat buffer plus ONE minibatch — materializing the whole
+            # shuffled copy up front would double the dominant buffer.
+            perm = jax.random.permutation(k_ep, n)
+            idxs = perm.reshape((cfg.num_minibatches, mb_size))
+
+            def one_minibatch(carry, idx):
+                params, opt_state = carry
+                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                (_, metrics), grads = jax.value_and_grad(
+                    _loss, has_aux=True
+                )(params, mb)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                one_minibatch, (params, opt_state), idxs
+            )
+            # Mean over the epoch's minibatches.
+            metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            one_epoch,
+            (params, opt_state),
+            jax.random.split(key, cfg.num_epochs),
+        )
+        metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        metrics["reward_per_step"] = traj.reward.mean()
+        # How much of the return variance the (pre-update) critic explains.
+        ret_var = jnp.var(returns)
+        metrics["explained_variance"] = 1.0 - jnp.var(
+            returns - traj.value
+        ) / (ret_var + 1e-8)
+        return params, opt_state, metrics
+
+    return update
+
+
 def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
     """Build (init_fn, train_step) for a BatchedEnv + ActorCritic.
 
@@ -171,133 +310,16 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
         carry_out = RolloutCarry(env=env_states, run_return=run_ret)
         return carry_out, traj, last_value, ep_stats
 
-    def _gae(traj: Transition, last_value):
-        def body(carry, tr):
-            gae, next_value = carry
-            done = jnp.maximum(tr.terminated, tr.truncated)
-            # True terminals zero the bootstrap; truncations bootstrap from
-            # the pre-reset final observation's value.
-            nv = jnp.where(tr.truncated > 0, tr.boot_value, next_value)
-            delta = (
-                tr.reward
-                + cfg.gamma * nv * (1.0 - tr.terminated)
-                - tr.value
-            )
-            # Advantage accumulation never crosses an episode boundary.
-            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - done) * gae
-            return (gae, tr.value), gae
-
-        (_, _), advantages = jax.lax.scan(
-            body,
-            (jnp.zeros_like(last_value), last_value),
-            traj,
-            reverse=True,
-        )
-        returns = advantages + traj.value
-        return advantages, returns
-
-    def _loss(params, mb):
-        """Clipped PPO loss over one flat minibatch of (n,) samples."""
-        obs, actions, old_logp, advantages, returns = mb
-        logits, value = net.apply(params, obs)
-
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
-        chosen = jnp.take_along_axis(
-            logp_all, actions[..., None], axis=-1
-        ).squeeze(-1)
-        logp = chosen.sum(axis=-1)
-
-        ratio = jnp.exp(logp - old_logp)
-        # Advantage normalization is per-minibatch, matching SB3's
-        # normalize_advantage=True update semantics.
-        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-        pg1 = ratio * adv
-        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
-        pg_loss = -jnp.minimum(pg1, pg2).mean()
-        v_loss = 0.5 * jnp.square(value - returns).mean()
-        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
-        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
-        # SB3-style update diagnostics (ppo.py logs these per update).
-        approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
-        clip_fraction = (
-            (jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32).mean()
-        )
-        return loss, {
-            "loss": loss,
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "entropy": entropy,
-            "approx_kl": approx_kl,
-            "clip_fraction": clip_fraction,
-        }
+    update = make_update_fn(net, tx, cfg)
 
     def train_step(params, opt_state, states, key):
-        """One PPO iteration: rollout + GAE + minibatched update. Jittable.
-
-        Update semantics follow SB3 PPO (the reference training script's
-        learner, reference scripts/main_mvn_ctf_rl.py:30-34): per epoch the
-        (rollout_len × num_envs) buffer is shuffled and split into
-        ``num_minibatches`` slices, one clipped gradient step each.
-        """
+        """One PPO iteration: rollout + GAE + minibatched update
+        (``make_update_fn`` — SB3 semantics).  Jittable."""
         key, k_roll, k_perm = jax.random.split(key, 3)
         states, traj, last_value, ep_stats = _rollout(params, states, k_roll)
-        advantages, returns = _gae(traj, last_value)
-
-        T, B = traj.reward.shape
-        n = T * B
-        assert n % cfg.num_minibatches == 0, (
-            f"rollout_len*num_envs={n} not divisible by "
-            f"num_minibatches={cfg.num_minibatches}"
+        params, opt_state, metrics = update(
+            params, opt_state, traj, last_value, k_perm
         )
-        mb_size = n // cfg.num_minibatches
-
-        flat = (
-            traj.obs.reshape((n,) + traj.obs.shape[2:]),
-            traj.actions.reshape((n,) + traj.actions.shape[2:]),
-            traj.logp.reshape(n),
-            advantages.reshape(n),
-            returns.reshape(n),
-        )
-
-        def one_epoch(carry, k_ep):
-            params, opt_state = carry
-            # Fresh shuffle per epoch; static minibatch count -> scan over
-            # the (num_minibatches, mb_size) index slices.  Each minibatch
-            # gathers its own rows inside the scan body, so peak HBM holds
-            # the flat buffer plus ONE minibatch — materializing the whole
-            # shuffled copy up front would double the dominant buffer.
-            perm = jax.random.permutation(k_ep, n)
-            idxs = perm.reshape((cfg.num_minibatches, mb_size))
-
-            def one_minibatch(carry, idx):
-                params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
-                (_, metrics), grads = jax.value_and_grad(
-                    _loss, has_aux=True
-                )(params, mb)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), metrics
-
-            (params, opt_state), metrics = jax.lax.scan(
-                one_minibatch, (params, opt_state), idxs
-            )
-            # Mean over the epoch's minibatches.
-            metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
-            return (params, opt_state), metrics
-
-        (params, opt_state), metrics = jax.lax.scan(
-            one_epoch,
-            (params, opt_state),
-            jax.random.split(k_perm, cfg.num_epochs),
-        )
-        metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
-        metrics["reward_per_step"] = traj.reward.mean()
-        # How much of the return variance the (pre-update) critic explains.
-        ret_var = jnp.var(returns)
-        metrics["explained_variance"] = 1.0 - jnp.var(
-            returns - traj.value
-        ) / (ret_var + 1e-8)
         metrics.update(ep_stats)
         return params, opt_state, states, key, metrics
 

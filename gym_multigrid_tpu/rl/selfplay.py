@@ -33,7 +33,12 @@ import optax
 
 from gym_multigrid_tpu.parallel.vector import BatchedEnv
 from gym_multigrid_tpu.rl.networks import ActorCritic, sample_actions
-from gym_multigrid_tpu.rl.ppo import PPOConfig, RolloutCarry
+from gym_multigrid_tpu.rl.ppo import (
+    PPOConfig,
+    RolloutCarry,
+    Transition,
+    make_update_fn,
+)
 
 
 def make_ctf_selfplay_batch(cfg, num_envs: int, auto_reset: bool = True):
@@ -73,112 +78,6 @@ class LeagueState(NamedTuple):
     pool: Any
     filled: jax.Array  # int32 — slots holding a real snapshot
     slot: jax.Array  # int32 — next ring-buffer write position
-
-
-class _Traj(NamedTuple):
-    obs: jax.Array
-    actions: jax.Array
-    logp: jax.Array
-    value: jax.Array
-    reward: jax.Array
-    terminated: jax.Array
-    truncated: jax.Array
-    boot_value: jax.Array
-
-
-def _make_gae(ppo_cfg: PPOConfig):
-    def gae(traj: _Traj, last_value):
-        def body(carry, tr):
-            g, next_value = carry
-            done = jnp.maximum(tr.terminated, tr.truncated)
-            nv = jnp.where(tr.truncated > 0, tr.boot_value, next_value)
-            delta = (
-                tr.reward + ppo_cfg.gamma * nv * (1.0 - tr.terminated)
-                - tr.value
-            )
-            g = delta + ppo_cfg.gamma * ppo_cfg.gae_lambda * (1.0 - done) * g
-            return (g, tr.value), g
-
-        (_, _), adv = jax.lax.scan(
-            body, (jnp.zeros_like(last_value), last_value), traj,
-            reverse=True,
-        )
-        return adv, adv + traj.value
-
-    return gae
-
-
-def _make_update_side(net, tx, ppo_cfg: PPOConfig):
-    gae = _make_gae(ppo_cfg)
-
-    def update_side(params, opt_state, traj: _Traj, last_value, key):
-        advantages, returns = gae(traj, last_value)
-        T, B = traj.reward.shape
-        n = T * B
-        assert n % ppo_cfg.num_minibatches == 0, (
-            f"num_minibatches={ppo_cfg.num_minibatches} must divide "
-            f"rollout_len*envs={n}"
-        )
-        mb_size = n // ppo_cfg.num_minibatches
-        flat = (
-            traj.obs.reshape((n,) + traj.obs.shape[2:]),
-            traj.actions.reshape((n,) + traj.actions.shape[2:]),
-            traj.logp.reshape(n),
-            advantages.reshape(n),
-            returns.reshape(n),
-        )
-
-        def _loss(params, mb):
-            obs, actions, old_logp, adv_mb, ret_mb = mb
-            logits, value = net.apply(params, obs)
-            logp_all = jax.nn.log_softmax(logits, axis=-1)
-            chosen = jnp.take_along_axis(
-                logp_all, actions[..., None], axis=-1
-            ).squeeze(-1)
-            logp = chosen.sum(axis=-1)
-            ratio = jnp.exp(logp - old_logp)
-            a = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
-            pg = -jnp.minimum(
-                ratio * a,
-                jnp.clip(ratio, 1 - ppo_cfg.clip_eps, 1 + ppo_cfg.clip_eps)
-                * a,
-            ).mean()
-            v = 0.5 * jnp.square(value - ret_mb).mean()
-            ent = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
-            loss = pg + ppo_cfg.vf_coef * v - ppo_cfg.ent_coef * ent
-            return loss, {"loss": loss, "pg_loss": pg, "v_loss": v,
-                          "entropy": ent}
-
-        def one_epoch(carry, k_ep):
-            params, opt_state = carry
-            perm = jax.random.permutation(k_ep, n)
-            idxs = perm.reshape((ppo_cfg.num_minibatches, mb_size))
-
-            def one_mb(carry, idx):
-                params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
-                (_, m), grads = jax.value_and_grad(_loss, has_aux=True)(
-                    params, mb
-                )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates), opt_state), m
-
-            (params, opt_state), m = jax.lax.scan(
-                one_mb, (params, opt_state), idxs
-            )
-            return (params, opt_state), jax.tree_util.tree_map(
-                lambda x: x.mean(), m
-            )
-
-        (params, opt_state), m = jax.lax.scan(
-            one_epoch, (params, opt_state),
-            jax.random.split(key, ppo_cfg.num_epochs),
-        )
-        m = jax.tree_util.tree_map(lambda x: x[-1], m)
-        m["reward_per_step"] = traj.reward.mean()
-        return params, opt_state, m
-
-    return update_side
 
 
 def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
@@ -260,14 +159,14 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
                 step_obs,
             )
             so = _store(obs)
-            tb = _Traj(so, b_act, b_logp, b_value, reward,
-                       term.astype(jnp.float32), trunc.astype(jnp.float32),
-                       boot[0])
+            tb = Transition(so, b_act, b_logp, b_value, reward,
+                            term.astype(jnp.float32),
+                            trunc.astype(jnp.float32), boot[0])
             # red plays the adversarial objective: minus the blue-centric
             # team reward
-            tr = _Traj(so, r_act, r_logp, r_value, -reward,
-                       term.astype(jnp.float32), trunc.astype(jnp.float32),
-                       boot[1])
+            tr = Transition(so, r_act, r_logp, r_value, -reward,
+                            term.astype(jnp.float32),
+                            trunc.astype(jnp.float32), boot[1])
             return (states, key, run_ret, ep_sum, ep_cnt), (tb, tr)
 
         init = (carry_in.env, key, carry_in.run_return,
@@ -289,8 +188,10 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
             stats,
         )
 
-    update_blue = _make_update_side(blue_net, tx, ppo_cfg)
-    update_red = _make_update_side(red_net, tx, ppo_cfg)
+    # the exact update the single-sided learner runs (rl/ppo.py), once
+    # per side
+    update_blue = make_update_fn(blue_net, tx, ppo_cfg)
+    update_red = make_update_fn(red_net, tx, ppo_cfg)
 
     def train_step(sp: SelfPlayState, key):
         key, k_roll, k_bu, k_ru = jax.random.split(key, 4)
@@ -319,7 +220,7 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
     return init_fn, train_step, (blue_net, red_net)
 
 
-def _slice_envs(traj: _Traj, n: int) -> _Traj:
+def _slice_envs(traj: Transition, n: int) -> Transition:
     return jax.tree_util.tree_map(lambda x: x[:, :n], traj)
 
 
