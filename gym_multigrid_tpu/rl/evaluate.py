@@ -216,25 +216,23 @@ def evaluate_ctf(
     return _outcome_summary(acc, num_steps, num_envs)
 
 
-def evaluate_ctf_match(
+def make_ctf_match_evaluator(
     cfg,
     num_envs: int,
     blue_net,
-    blue_params,
     red_net,
-    red_params,
-    key: jax.Array,
     num_steps: int,
     *,
     deterministic: bool = True,
-) -> dict[str, Any]:
-    """Head-to-head CtF: TWO learned policies, one per team, via the
+):
+    """Build ``match(blue_params, red_params, key) -> outcome dict`` for
+    head-to-head CtF: TWO learned policies, one per team, via the
     all-agent external-action step (`step_actions_fn`).  Outcomes are
     blue-centric with the same classification as ``evaluate_ctf``.
 
-    This is how self-play/league snapshots are compared against each
-    other (e.g. final blue vs every pool red — an empirical game matrix);
-    the reference has no counterpart (its red is always scripted).
+    The params are arguments of the one jitted program, so scoring many
+    pairings (e.g. blue vs every league pool slot, scripts/league_matrix.py)
+    compiles once — per-call closures would re-trace every pairing.
     """
     from gym_multigrid_tpu.envs.ctf import make_ctf
 
@@ -275,8 +273,35 @@ def evaluate_ctf_match(
         )
         return acc
 
-    acc = jax.jit(run)(blue_params, red_params, key)
-    return _outcome_summary(acc, num_steps, num_envs)
+    run = jax.jit(run)
+
+    def match(blue_params, red_params, key):
+        acc = run(blue_params, red_params, key)
+        return _outcome_summary(acc, num_steps, num_envs)
+
+    return match
+
+
+def evaluate_ctf_match(
+    cfg,
+    num_envs: int,
+    blue_net,
+    blue_params,
+    red_net,
+    red_params,
+    key: jax.Array,
+    num_steps: int,
+    *,
+    deterministic: bool = True,
+) -> dict[str, Any]:
+    """One-shot head-to-head CtF evaluation (see
+    ``make_ctf_match_evaluator`` — use the factory directly when scoring
+    many pairings so the program compiles once)."""
+    match = make_ctf_match_evaluator(
+        cfg, num_envs, blue_net, red_net, num_steps,
+        deterministic=deterministic,
+    )
+    return match(blue_params, red_params, key)
 
 
 def load_params(model_path: str):

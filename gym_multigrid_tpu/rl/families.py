@@ -60,6 +60,21 @@ def make_family_batch(
     """
     from gym_multigrid_tpu.parallel import vector as pv
 
+    # Array-observation options only: the MLP/conv learners (and the
+    # BatchedEnv buffer) need a single array per env, so dict options
+    # ("positional") and families with a fixed encoding are rejected
+    # here with a clear error instead of an opaque trace failure.
+    _obs_allowed = {"ctf": ("flattened", "map"), "maze": ("map",)}
+    if obs_option is not None:
+        allowed = _obs_allowed.get(family, ())
+        if obs_option not in allowed:
+            raise ValueError(
+                f"obs_option={obs_option!r} is not trainable for "
+                f"{family!r}: "
+                + (f"choose one of {allowed}" if allowed
+                   else "this family has a fixed grid observation")
+            )
+
     if family == "collect":
         from gym_multigrid_tpu.envs.collect import CollectConfig
 

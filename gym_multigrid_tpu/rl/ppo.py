@@ -19,6 +19,11 @@ import optax
 
 from gym_multigrid_tpu.rl.networks import ActorCritic, sample_actions
 
+__all__ = [
+    "PPOConfig", "RolloutCarry", "Transition", "make_obs_store",
+    "make_update_fn", "make_ppo",
+]
+
 
 @dataclass(frozen=True)
 class PPOConfig:
@@ -68,6 +73,33 @@ class Transition(NamedTuple):
     # Critic value of the post-step (pre-auto-reset) observation — the
     # bootstrap target at truncation boundaries.
     boot_value: jax.Array
+
+
+def make_obs_store(cfg: PPOConfig):
+    """The rollout-buffer obs compactor for ``cfg.obs_buffer_dtype``:
+    validates the configured dtype is integral (at build time) and that
+    the env's observations are integral (at trace time) before casting —
+    a silent float→int cast would corrupt the whole buffer.  Shared by
+    the single-sided and self-play learners."""
+    obs_dtype = (
+        jnp.dtype(cfg.obs_buffer_dtype) if cfg.obs_buffer_dtype else None
+    )
+    if obs_dtype is not None and not jnp.issubdtype(obs_dtype, jnp.integer):
+        raise ValueError(
+            f"obs_buffer_dtype must be an integer dtype, got {obs_dtype}"
+        )
+
+    def store_obs(obs):
+        if obs_dtype is None or obs.dtype == obs_dtype:
+            return obs
+        if not jnp.issubdtype(obs.dtype, jnp.integer):
+            raise ValueError(
+                "obs_buffer_dtype compaction needs integer observations; "
+                f"this env emits {obs.dtype} (e.g. Maze's float64 map quirk)"
+            )
+        return obs.astype(obs_dtype)
+
+    return store_obs
 
 
 def make_update_fn(net, tx, cfg: PPOConfig):
@@ -218,23 +250,7 @@ def make_ppo(env, net: ActorCritic, cfg: PPOConfig):
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
-    obs_dtype = (
-        jnp.dtype(cfg.obs_buffer_dtype) if cfg.obs_buffer_dtype else None
-    )
-    if obs_dtype is not None and not jnp.issubdtype(obs_dtype, jnp.integer):
-        raise ValueError(
-            f"obs_buffer_dtype must be an integer dtype, got {obs_dtype}"
-        )
-
-    def _store_obs(obs):
-        if obs_dtype is None or obs.dtype == obs_dtype:
-            return obs
-        if not jnp.issubdtype(obs.dtype, jnp.integer):
-            raise ValueError(
-                "obs_buffer_dtype compaction needs integer observations; "
-                f"this env emits {obs.dtype} (e.g. Maze's float64 map quirk)"
-            )
-        return obs.astype(obs_dtype)
+    _store_obs = make_obs_store(cfg)
 
     def init_fn(key: jax.Array):
         k_env, k_net = jax.random.split(key)

@@ -37,6 +37,7 @@ from gym_multigrid_tpu.rl.ppo import (
     PPOConfig,
     RolloutCarry,
     Transition,
+    make_obs_store,
     make_update_fn,
 )
 
@@ -48,18 +49,16 @@ def make_ctf_selfplay_batch(cfg, num_envs: int, auto_reset: bool = True):
     team reward of the base step (envs/ctf.py _transition)."""
     from gym_multigrid_tpu.envs.ctf import make_ctf
 
+    from gym_multigrid_tpu.envs.ctf import NUM_ACTIONS
+
     fns = make_ctf(cfg)
-
-    def step_one(state, actions):
-        return fns.step_actions_fn(state, actions)
-
     return BatchedEnv(
         reset_one=fns.reset_fn,
-        step_one=step_one,
+        step_one=fns.step_actions_fn,
         encode_one=fns.obs_fn,
         num_envs=num_envs,
         auto_reset=auto_reset,
-        num_actions=5,
+        num_actions=NUM_ACTIONS,
         actions_shape=(cfg.num_blue_agents + cfg.num_red_agents,),
     )
 
@@ -86,22 +85,21 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
     independent PPO on both CtF teams.  train_step(sp_state, key) ->
     (sp_state', key, metrics) with blue_*/red_* metric prefixes; fully
     jittable."""
+    from gym_multigrid_tpu.envs.ctf import NUM_ACTIONS
+
     n_blue = cfg.num_blue_agents
     n_red = cfg.num_red_agents
-    blue_net = ActorCritic(num_actions=5, num_agents=n_blue, hidden=hidden)
-    red_net = ActorCritic(num_actions=5, num_agents=n_red, hidden=hidden)
+    blue_net = ActorCritic(num_actions=NUM_ACTIONS, num_agents=n_blue,
+                           hidden=hidden)
+    red_net = ActorCritic(num_actions=NUM_ACTIONS, num_agents=n_red,
+                          hidden=hidden)
     tx = optax.chain(
         optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
         optax.adam(ppo_cfg.lr),
     )
-    obs_dtype = (
-        jnp.dtype(ppo_cfg.obs_buffer_dtype)
-        if ppo_cfg.obs_buffer_dtype
-        else None
-    )
-
-    def _store(obs):
-        return obs if obs_dtype is None else obs.astype(obs_dtype)
+    # shared with the single-sided learner: integer-dtype + integer-obs
+    # guards before compacting the rollout buffer (rl/ppo.py)
+    _store = make_obs_store(ppo_cfg)
 
     def init_fn(key):
         k_env, k_b, k_r = jax.random.split(key, 3)
@@ -123,23 +121,26 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
                  key):
         """Roll the batch with blue=bp everywhere, red=rp on envs
         [0, league_from) and red=league_rp on envs [league_from, B).
-        Plain self-play passes league_rp=rp, league_from=B."""
+        Plain self-play passes league_rp=rp, league_from=B.
+
+        Each red net forwards only its own static env slice — the live
+        red's trajectory (and update) covers exactly [0, league_from), so
+        running it on league envs would be wasted inference XLA cannot
+        DCE.  Blue's trajectory covers the full batch."""
+        n_sp = league_from
 
         def body(carry, _):
             states, key, run_ret, ep_sum, ep_cnt = carry
-            key, k_b, k_r = jax.random.split(key, 3)
+            key, k_b, k_r, k_lg = jax.random.split(key, 4)
             obs = jax.vmap(env.encode_one)(states)
             b_logits, b_value = blue_net.apply(bp, obs)
-            r_logits, r_value = red_net.apply(rp, obs)
             b_act, b_logp = sample_actions(k_b, b_logits)
+            r_logits, r_value = red_net.apply(rp, obs[:n_sp])
             r_act, r_logp = sample_actions(k_r, r_logits)
-            if league_from < env.num_envs:
-                lg_logits, _ = red_net.apply(league_rp, obs)
-                lg_act, _ = sample_actions(k_r, lg_logits)
-                is_sp = (
-                    jnp.arange(env.num_envs) < league_from
-                )[:, None]
-                red_play = jnp.where(is_sp, r_act, lg_act)
+            if n_sp < env.num_envs:
+                lg_logits, _ = red_net.apply(league_rp, obs[n_sp:])
+                lg_act, _ = sample_actions(k_lg, lg_logits)
+                red_play = jnp.concatenate([r_act, lg_act], axis=0)
             else:
                 red_play = r_act
             actions = jnp.concatenate([b_act, red_play], axis=1)
@@ -151,10 +152,13 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
             run_ret = jnp.where(done, 0.0, run_ret)
             boot = jax.lax.cond(
                 jnp.any(trunc),
-                lambda o: (blue_net.apply(bp, o)[1], red_net.apply(rp, o)[1]),
+                lambda o: (
+                    blue_net.apply(bp, o)[1],
+                    red_net.apply(rp, o[:n_sp])[1],
+                ),
                 lambda o: (
                     jnp.zeros(o.shape[:1], jnp.float32),
-                    jnp.zeros(o.shape[:1], jnp.float32),
+                    jnp.zeros((n_sp,), jnp.float32),
                 ),
                 step_obs,
             )
@@ -163,10 +167,11 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
                             term.astype(jnp.float32),
                             trunc.astype(jnp.float32), boot[0])
             # red plays the adversarial objective: minus the blue-centric
-            # team reward
-            tr = Transition(so, r_act, r_logp, r_value, -reward,
-                            term.astype(jnp.float32),
-                            trunc.astype(jnp.float32), boot[1])
+            # team reward — over its self-play slice only
+            tr = Transition(so[:n_sp], r_act, r_logp, r_value,
+                            -reward[:n_sp],
+                            term[:n_sp].astype(jnp.float32),
+                            trunc[:n_sp].astype(jnp.float32), boot[1])
             return (states, key, run_ret, ep_sum, ep_cnt), (tb, tr)
 
         init = (carry_in.env, key, carry_in.run_return,
@@ -176,7 +181,7 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
         )
         last_obs = jax.vmap(env.encode_one)(env_states)
         last_b = blue_net.apply(bp, last_obs)[1]
-        last_r = red_net.apply(rp, last_obs)[1]
+        last_r = red_net.apply(rp, last_obs[:n_sp])[1]
         stats = {
             "episodes": ep_cnt,
             "ep_return_mean": ep_sum / jnp.maximum(ep_cnt, 1),
@@ -218,10 +223,6 @@ def make_selfplay_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
     train_step._internals = (init_fn, _rollout, update_blue, update_red,
                              blue_net, red_net)
     return init_fn, train_step, (blue_net, red_net)
-
-
-def _slice_envs(traj: Transition, n: int) -> Transition:
-    return jax.tree_util.tree_map(lambda x: x[:, :n], traj)
 
 
 def make_league_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
@@ -297,10 +298,9 @@ def make_league_ppo(env: BatchedEnv, cfg, ppo_cfg: PPOConfig,
         )
         bp, bo, mb = update_blue(sp.blue_params, sp.blue_opt, tb, last_b,
                                  k_bu)
-        rp, ro, mr = update_red(
-            sp.red_params, sp.red_opt, _slice_envs(tr, n_sp),
-            last_r[:n_sp], k_ru,
-        )
+        # tr already covers only the self-play slice (the rollout applies
+        # the live red to envs [0, n_sp) exclusively)
+        rp, ro, mr = update_red(sp.red_params, sp.red_opt, tr, last_r, k_ru)
         metrics = {f"blue_{k}": v for k, v in mb.items()}
         metrics.update({f"red_{k}": v for k, v in mr.items()})
         metrics.update(stats)

@@ -38,7 +38,7 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-    from gym_multigrid_tpu.rl.evaluate import evaluate_ctf_match
+    from gym_multigrid_tpu.rl.evaluate import make_ctf_match_evaluator
     from gym_multigrid_tpu.rl.networks import ActorCritic
     from gym_multigrid_tpu.utils.checkpoint import load_pytree
 
@@ -60,7 +60,12 @@ def main(argv=None):
         enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
         observation_option="flattened",
     )
-    net = ActorCritic(num_actions=5, num_agents=cfg.num_blue_agents)
+    from gym_multigrid_tpu.envs.ctf import NUM_ACTIONS
+
+    net = ActorCritic(num_actions=NUM_ACTIONS,
+                      num_agents=cfg.num_blue_agents)
+    # one jitted program for every pairing — params are call arguments
+    match = make_ctf_match_evaluator(cfg, args.envs, net, net, args.steps)
     pool_size = jax.tree_util.tree_leaves(ck["pool"])[0].shape[0]
     rows = {}
     opponents = [
@@ -69,10 +74,7 @@ def main(argv=None):
         for i in range(pool_size)
     ] + [("final_red", ck["red_params"])]
     for name, rp in opponents:
-        r = evaluate_ctf_match(
-            cfg, args.envs, net, ck["blue_params"], net, rp,
-            jax.random.PRNGKey(17), args.steps,
-        )
+        r = match(ck["blue_params"], rp, jax.random.PRNGKey(17))
         rows[name] = r
         print(
             f"{name:>10}: win {r['win_rate']:.3f}  loss "

@@ -90,7 +90,9 @@ def main() -> None:
     # The fused CtF kernel needs real TPU hardware; XLA path elsewhere.
     use_pallas = jax.default_backend() not in ("cpu",) and not args.no_pallas
     env = make_ctf_batch(cfg, args.envs, auto_reset=True, use_pallas=use_pallas)
-    net = ActorCritic(num_actions=5, num_agents=cfg.num_blue_agents)
+    from gym_multigrid_tpu.envs.ctf import NUM_ACTIONS
+
+    net = ActorCritic(num_actions=NUM_ACTIONS, num_agents=cfg.num_blue_agents)
     ppo_cfg = PPOConfig(
         rollout_len=args.rollout_len,
         num_epochs=args.epochs,

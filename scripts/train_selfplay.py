@@ -127,9 +127,15 @@ def main(argv=None):
     start_it = 0
     if args.resume and os.path.exists(state_path + ".npz"):
         snap = load_pytree(state_path)
-        ref_td = jax.tree_util.tree_structure((sp, key))
-        got_td = jax.tree_util.tree_structure((snap["state"], snap["key"]))
-        if ref_td != got_td:
+        # structure catches mode/net changes; leaf SHAPES catch changed
+        # --envs / --pool-size (the pool and batch dims are shape, not
+        # structure — a shape mismatch would otherwise corrupt the ring
+        # via silently-dropped out-of-bounds scatter updates)
+        def sig(t):
+            leaves, td = jax.tree_util.tree_flatten(t)
+            return td, [x.shape for x in leaves]
+
+        if sig((sp, key)) != sig((snap["state"], snap["key"])):
             raise SystemExit(
                 f"--resume: snapshot at {state_path}.npz was written with "
                 "different flags (mode/pool/envs/net) — train with the "
@@ -170,6 +176,10 @@ def main(argv=None):
             # happens at exactly every snapshot_every iterations
             to_snap = args.snapshot_every - it % args.snapshot_every
             n = min(n, to_snap)
+        if args.checkpoint_every:
+            # likewise align to checkpoint boundaries, or a chunk size
+            # that never lands on the boundary would skip every save
+            n = min(n, args.checkpoint_every - it % args.checkpoint_every)
         if n not in chunk_fns:
             chunk_fns[n] = jax.jit(lambda sp, k, _n=n: multi(sp, k, _n))
         t0 = time.perf_counter()

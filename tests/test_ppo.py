@@ -171,3 +171,14 @@ def test_conv_actor_critic_shapes_and_ppo_on_map_obs():
     )
     assert np.isfinite(float(metrics["loss"]))
     assert _leaf_delta(params, p2) > 0
+
+
+def test_family_obs_option_validation():
+    from gym_multigrid_tpu.rl.families import make_family_batch
+
+    with pytest.raises(ValueError, match="not trainable"):
+        make_family_batch("ctf", 4, obs_option="positional")
+    with pytest.raises(ValueError, match="fixed grid observation"):
+        make_family_batch("wildfire", 4, obs_option="map")
+    with pytest.raises(ValueError, match="not trainable"):
+        make_family_batch("maze", 4, obs_option="positional")
