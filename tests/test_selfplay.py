@@ -215,3 +215,25 @@ def test_league_validation():
                         league_fraction=1.0)
     with pytest.raises(ValueError, match="pool_size"):
         make_league_ppo(env, cfg, PPOConfig(rollout_len=8), pool_size=0)
+
+
+def test_selfplay_1v1_variant():
+    """Self-play composes with the 1v1 CtF variant unchanged (the
+    factory only reads team sizes from the config)."""
+    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+
+    cfg = CtfConfig.from_map_path(
+        MAP, num_blue_agents=1, num_red_agents=1, variant="1v1",
+        enemy_policies=(PolicySpec("rw"),),
+        observation_option="flattened",
+    )
+    env = make_ctf_selfplay_batch(cfg, 8)
+    init_fn, train_step, nets = make_selfplay_ppo(
+        env, cfg, PPOConfig(rollout_len=8, num_minibatches=2),
+        hidden=(16, 16),
+    )
+    sp = init_fn(jax.random.PRNGKey(0))
+    sp2, key, m = jax.jit(train_step)(sp, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["blue_loss"]))
+    assert np.isfinite(float(m["red_loss"]))
+    assert _delta(sp.blue_params, sp2.blue_params) > 0
