@@ -237,3 +237,16 @@ def test_selfplay_1v1_variant():
     assert np.isfinite(float(m["blue_loss"]))
     assert np.isfinite(float(m["red_loss"]))
     assert _delta(sp.blue_params, sp2.blue_params) > 0
+
+
+def test_selfplay_obs_buffer_dtype_guard():
+    """Self-play shares make_ppo's obs-store guards (rl/ppo.py
+    make_obs_store): a non-integer buffer dtype fails at build time."""
+    cfg = _cfg()
+    env = make_ctf_selfplay_batch(cfg, 4)
+    with pytest.raises(ValueError, match="integer dtype"):
+        make_selfplay_ppo(
+            env, cfg,
+            PPOConfig(rollout_len=4, obs_buffer_dtype="float16"),
+            hidden=(16, 16),
+        )
