@@ -59,16 +59,19 @@ def batch_tree_shardings(tree: Any, mesh: Mesh) -> Any:
 
 
 def param_tp_shardings(params: Any, mesh: Mesh) -> Any:
-    """Tensor-parallel shardings for an MLP param tree.
+    """Tensor-parallel shardings for an MLP/conv param tree.
 
-    2D kernels shard their output dim over 'model' when divisible; everything
-    else replicates.  GSPMD inserts the matching all-reduces.
+    Kernels shard their output dim over 'model' when divisible — the last
+    axis for both Dense (in, out) and Conv (kh, kw, cin, cout) kernels —
+    everything else replicates.  GSPMD inserts the matching all-reduces.
     """
     tp = mesh.shape["model"]
 
     def spec(x):
-        if x.ndim == 2 and x.shape[1] % tp == 0 and tp > 1:
-            return NamedSharding(mesh, P(None, "model"))
+        if x.ndim in (2, 4) and x.shape[-1] % tp == 0 and tp > 1:
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), "model")
+            )
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec, params)

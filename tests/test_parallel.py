@@ -207,3 +207,38 @@ def test_batched_step_rejects_wrong_batch_size():
     states, _ = env.reset(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="batched over 4 envs"):
         env.step(states, jnp.zeros((8, 2), jnp.int32))
+
+
+def test_param_tp_shardings_dense_and_conv():
+    """Dense (in, out) and Conv (kh, kw, cin, cout) kernels both shard
+    their output dim over 'model'; biases/scalars replicate; the jitted
+    forward runs with the sharded params (parallel/mesh.py)."""
+    from gym_multigrid_tpu.parallel.mesh import make_mesh, param_tp_shardings
+    from gym_multigrid_tpu.rl.networks import ConvActorCritic
+
+    mesh = make_mesh(8, model_parallel=2)
+    net = ConvActorCritic(num_actions=5, num_agents=2, features=(8, 16),
+                          hidden=32)
+    obs = jnp.zeros((4, 10, 10), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), obs)
+    shardings = param_tp_shardings(params, mesh)
+
+    flat_p = jax.tree_util.tree_leaves_with_path(params)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(shardings))
+    saw_conv = saw_dense = False
+    for path, leaf in flat_p:
+        spec = flat_s[tuple(path)].spec
+        if leaf.ndim == 4:  # conv kernel
+            saw_conv = True
+            assert spec[-1] == "model", path
+        elif leaf.ndim == 2 and leaf.shape[-1] % 2 == 0:
+            saw_dense = True
+            assert spec[-1] == "model", path
+        else:
+            assert all(s is None for s in spec), path
+    assert saw_conv and saw_dense
+
+    params = jax.device_put(params, shardings)
+    logits, value = jax.jit(net.apply)(params, obs)
+    assert logits.shape == (4, 2, 5)
+    assert np.isfinite(np.asarray(value)).all()
