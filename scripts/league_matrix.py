@@ -23,12 +23,54 @@ os.makedirs("/tmp/jax_cache", exist_ok=True)
 import jax  # noqa: E402
 
 
+def save_match_gif(cfg, net, blue_params, red_params, path, *, fps=5,
+                   seed=0):
+    """Greedy learned-vs-learned rollout of ONE env (no auto-reset),
+    rendered with the sprite-bank renderer — the visual companion to the
+    match outcome numbers."""
+    import numpy as np
+
+    from gym_multigrid_tpu.render import tiles
+    from gym_multigrid_tpu.rl.selfplay import make_ctf_selfplay_batch
+
+    env = make_ctf_selfplay_batch(cfg, 1, auto_reset=False)
+    step = jax.jit(env.step)
+    states, _ = jax.jit(env.reset)(jax.random.PRNGKey(seed))
+    apply = jax.jit(net.apply)
+
+    def frame(states):
+        one = jax.tree_util.tree_map(lambda x: x[0], states)
+        return np.asarray(tiles.render_ctf(cfg, one))
+
+    frames = [frame(states)]
+    for _ in range(cfg.max_steps):
+        obs = jax.vmap(env.encode_one)(states)
+        b_act = jax.numpy.argmax(apply(blue_params, obs)[0], axis=-1)
+        r_act = jax.numpy.argmax(apply(red_params, obs)[0], axis=-1)
+        actions = jax.numpy.concatenate(
+            [b_act, r_act], axis=1
+        ).astype(jax.numpy.int32)
+        states, _, _, term, trunc = step(states, actions)
+        frames.append(frame(states))
+        if bool(term[0] | trunc[0]):
+            break
+
+    import imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.mimsave(path, frames, fps=fps)
+    print(f"saved match rollout to {path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("run_dir", help="a scripts/train_selfplay.py --out dir")
     p.add_argument("--envs", type=int, default=256)
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--map", default="tests/assets/board.txt")
+    p.add_argument("--gif", action="store_true",
+                   help="also save a blue-vs-final-red match gif into "
+                        "<run_dir>/match.gif")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -86,6 +128,11 @@ def main(argv=None):
         json.dump(rows, f, indent=1)
         f.write("\n")
     print(f"wrote {out}")
+    if args.gif:
+        save_match_gif(
+            cfg, net, ck["blue_params"], ck["red_params"],
+            os.path.join(args.run_dir, "match.gif"),
+        )
 
 
 if __name__ == "__main__":
