@@ -52,9 +52,11 @@ def parse_args(argv=None):
     p.add_argument(
         "--path",
         default="auto",
-        choices=["auto", "xla-step", "xla-ms"],
-        help="rollout program per shard: per-step slab or the deep-unroll "
-        "episode math (auto = the backend's headline path)",
+        choices=["auto", "xla-step", "xla-ms", "ppo-train"],
+        help="program per shard: per-step slab rollout, the deep-unroll "
+        "episode math (auto = the backend's headline path), or the FULL "
+        "PPO train step (in-graph rollout + GAE + minibatched update — "
+        "the weak-scaling instrument for BASELINE's multi-host RL half)",
     )
     p.add_argument("--json-only", action="store_true")
     p.add_argument(
@@ -107,8 +109,64 @@ def measure_point(
     )
 
     num_envs = per_device_envs * n_devices
-    env, cfg, agents = build_env(family, num_envs, use_pallas)
     mesh = make_mesh(n_devices, model_parallel=1)
+
+    if path == "ppo-train":
+        # The FULL training step, dp-sharded over the env batch
+        # (params/optimizer replicated, gradients psum'd by GSPMD) —
+        # the same pattern as __graft_entry__.dryrun_multichip, at size.
+        from gym_multigrid_tpu.parallel.mesh import (
+            batch_tree_shardings,
+            replicated,
+        )
+        from gym_multigrid_tpu.rl.families import make_family_batch
+        from gym_multigrid_tpu.rl.networks import ActorCritic
+        from gym_multigrid_tpu.rl.ppo import PPOConfig, make_ppo
+
+        env, cfg, num_actions, policy_agents = make_family_batch(
+            family, num_envs, use_pallas
+        )
+        import bench_all
+
+        agents = bench_all._family_cfg(family)[2]
+        net = ActorCritic(num_actions=num_actions, num_agents=policy_agents)
+        init_fn, train_step = make_ppo(
+            env, net, PPOConfig(rollout_len=steps, num_minibatches=2)
+        )
+        params, opt_state, states = init_fn(jax.random.PRNGKey(0))
+        rep = replicated(mesh)
+        p_sh = jax.tree_util.tree_map(lambda _: rep, params)
+        o_sh = jax.tree_util.tree_map(lambda _: rep, opt_state)
+        s_sh = batch_tree_shardings(states, mesh)
+        params = jax.device_put(params, p_sh)
+        opt_state = jax.device_put(opt_state, o_sh)
+        states = jax.device_put(states, s_sh)
+        key = jax.device_put(jax.random.PRNGKey(1), rep)
+        step_fn = jax.jit(
+            train_step,
+            in_shardings=(p_sh, o_sh, s_sh, rep),
+            donate_argnums=(1, 2),
+        )
+        params, opt_state, states, key, m = step_fn(
+            params, opt_state, states, key
+        )  # compile + warm
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt_state, states, key, m = step_fn(
+                params, opt_state, states, key
+            )
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        agent_steps = num_envs * steps * reps * agents
+        return {
+            "devices": n_devices,
+            "envs": num_envs,
+            "agent_steps_per_sec": agent_steps / dt,
+            "per_chip": agent_steps / dt / n_devices,
+        }
+
+    env, cfg, agents = build_env(family, num_envs, use_pallas)
 
     states, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
     states = shard_batch_tree(states, mesh)

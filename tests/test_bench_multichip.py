@@ -78,3 +78,19 @@ def test_sharded_episode_rollout_metrics_replicated():
     assert np.isfinite(float(m1["reward_sum"]))
     assert float(m1["reward_sum"]) == float(m2["reward_sum"])
     assert int(m1["episodes"]) > 0
+
+
+def test_weak_scaling_ppo_train_path_on_mesh():
+    # The FULL PPO train step sharded over the mesh — the weak-scaling
+    # instrument for BASELINE's multi-host RL half.
+    results, eff = run_weak_scaling(
+        family="collect",
+        per_device_envs=16,
+        steps=8,
+        reps=1,
+        points=[1, 2],
+        verbose=False,
+        path="ppo-train",
+    )
+    assert results[2]["envs"] == 32 and eff > 0
+    assert results[1]["agent_steps_per_sec"] > 0
