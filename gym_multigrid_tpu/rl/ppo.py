@@ -10,8 +10,7 @@ axis and gradients reduce with XLA-inserted collectives (psum over ICI).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
