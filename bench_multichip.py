@@ -119,17 +119,17 @@ def measure_point(
             batch_tree_shardings,
             replicated,
         )
-        from gym_multigrid_tpu.rl.families import make_family_batch
+        from gym_multigrid_tpu.rl.families import _FAMILY_SPECS
         from gym_multigrid_tpu.rl.networks import ActorCritic
         from gym_multigrid_tpu.rl.ppo import PPOConfig, make_ppo
 
-        env, cfg, num_actions, policy_agents = make_family_batch(
-            family, num_envs, use_pallas
-        )
-        import bench_all
-
-        agents = bench_all._family_cfg(family)[2]
-        net = ActorCritic(num_actions=num_actions, num_agents=policy_agents)
+        # The SAME bench_all config every other --path measures (one
+        # source of truth for the benchmark identity); the RL wiring
+        # (action vocab, policy-agent count) comes from the family spec.
+        env, cfg, agents = build_env(family, num_envs, use_pallas)
+        num_actions, agents_fn = _FAMILY_SPECS[family]
+        net = ActorCritic(num_actions=num_actions,
+                          num_agents=agents_fn(cfg))
         init_fn, train_step = make_ppo(
             env, net, PPOConfig(rollout_len=steps, num_minibatches=2)
         )
@@ -216,7 +216,11 @@ def run_weak_scaling(
         # The per-backend headline path: deep-unroll episode math on TPU,
         # per-step slab on the CPU mesh (matches bench_all's HEADLINE).
         path = "xla-ms" if use_pallas else "xla-step"
-    steps = bench_all.align_steps(family, steps)
+    if path != "ppo-train":
+        # xla-ms chunking needs an aligned horizon; a PPO rollout_len
+        # has no such constraint — aligning would silently override
+        # the user's --steps.
+        steps = bench_all.align_steps(family, steps)
     pts = points or _device_points(devices, None)
     assert max(pts) <= len(jax.devices()), (
         f"need {max(pts)} devices, have {len(jax.devices())} ({backend})"

@@ -30,6 +30,27 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
+def make_ctf_cfg(
+    map_path: str | None = None,
+    opponents: tuple[str, ...] = ("rw", "rw"),
+    obs_option: str | None = None,
+):
+    """The canonical trainable CtF config (2 blue, MvN, flattened obs on
+    the test board by default) — the ONE definition shared by the family
+    builder, the self-play scripts and the driver dryrun, so the config
+    they train/validate can never drift apart."""
+    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
+
+    return CtfConfig.from_map_path(
+        map_path or os.path.join(_REPO_ROOT, "tests/assets/board.txt"),
+        num_blue_agents=2,
+        num_red_agents=len(opponents),
+        variant="mvn",
+        enemy_policies=tuple(PolicySpec(k) for k in opponents),
+        observation_option=obs_option or "flattened",
+    )
+
+
 def make_family_batch(
     family: str,
     num_envs: int,
@@ -83,17 +104,7 @@ def make_family_batch(
         )
         env = pv.make_collect_batch(cfg, num_envs, use_pallas=use_pallas)
     elif family == "ctf":
-        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-
-        cfg = CtfConfig.from_map_path(
-            map_path
-            or os.path.join(_REPO_ROOT, "tests/assets/board.txt"),
-            num_blue_agents=2,
-            num_red_agents=len(opponents),
-            variant="mvn",
-            enemy_policies=tuple(PolicySpec(k) for k in opponents),
-            observation_option=obs_option or "flattened",
-        )
+        cfg = make_ctf_cfg(map_path, opponents, obs_option)
         env = pv.make_ctf_batch(cfg, num_envs, use_pallas=use_pallas)
     elif family == "maze":
         from gym_multigrid_tpu.envs.maze import MazeConfig

@@ -79,8 +79,8 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
     from gym_multigrid_tpu.rl.evaluate import make_ctf_match_evaluator
+    from gym_multigrid_tpu.rl.families import make_ctf_cfg
     from gym_multigrid_tpu.rl.networks import ActorCritic
     from gym_multigrid_tpu.utils.checkpoint import load_pytree
 
@@ -94,14 +94,7 @@ def main(argv=None):
             f"{args.run_dir} has no pool — train with --pool-size to get "
             "a league snapshot"
         )
-    cfg = CtfConfig.from_map_path(
-        map_path,
-        num_blue_agents=2,
-        num_red_agents=2,
-        variant="mvn",
-        enemy_policies=(PolicySpec("rw"), PolicySpec("rw")),
-        observation_option="flattened",
-    )
+    cfg = make_ctf_cfg(map_path)
     from gym_multigrid_tpu.envs.ctf import NUM_ACTIONS
 
     net = ActorCritic(num_actions=NUM_ACTIONS,

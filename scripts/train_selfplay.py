@@ -71,7 +71,6 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
     from gym_multigrid_tpu.rl.evaluate import evaluate_ctf, evaluate_ctf_match
     from gym_multigrid_tpu.rl.ppo import PPOConfig
     from gym_multigrid_tpu.rl.selfplay import (
@@ -86,15 +85,10 @@ def main(argv=None):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), args.map
     )
 
+    from gym_multigrid_tpu.rl.families import make_ctf_cfg
+
     def ctf_cfg(opponents):
-        return CtfConfig.from_map_path(
-            map_path,
-            num_blue_agents=2,
-            num_red_agents=2,
-            variant="mvn",
-            enemy_policies=tuple(PolicySpec(k) for k in opponents),
-            observation_option="flattened",
-        )
+        return make_ctf_cfg(map_path, opponents)
 
     cfg = ctf_cfg(("rw", "rw"))  # enemy_policies unused in self-play
     env = make_ctf_selfplay_batch(cfg, args.envs)

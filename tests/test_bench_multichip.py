@@ -92,5 +92,9 @@ def test_weak_scaling_ppo_train_path_on_mesh():
         verbose=False,
         path="ppo-train",
     )
-    assert results[2]["envs"] == 32 and eff > 0
+    assert results[2]["envs"] == 32
     assert results[1]["agent_steps_per_sec"] > 0
+    # efficiency is a ratio of positive rates, so >0 is vacuous; a
+    # resharding bug that serializes the step would crater it far below
+    # this loose floor (2 virtual devices on a 4-core host)
+    assert 0.2 < eff < 1.5, eff
