@@ -44,11 +44,14 @@ categorical picks each have two bit-identical forms selected by the
 tril-matmul prefix sums) that the Pallas kernels need (no cumsum/scatter
 lowering on Mosaic, and the adjacency generalizes to any board
 topology), and matmul-free forms for plain-XLA consumers (masked lane
-shifts; integer log-doubling prefix sums) — the per-step auto-reset
-picks would otherwise burn n_fires + n_agents (B,C)x(C,C) matmuls every
-step.  Both compute exact small integers, so outputs are bit-equal
-(pinned in tests).  All randomness is pre-drawn uniforms so every
-consumer is a deterministic function of its inputs.
+shifts; integer log-doubling prefix sums).  Both compute exact small
+integers, so outputs are bit-equal (pinned in tests).  The reset's
+without-replacement picks pay the prefix sum once and update it in one
+pass per pick (ops/sampling.PickState) — they run inside the multi-step
+episode paths on EVERY step (discarded unless the env is done), so
+n_fires + n_agents full prefix passes (or (B,C)x(C,C) kernel matmuls)
+per step would dominate the reset.  All randomness is pre-drawn uniforms
+so every consumer is a deterministic function of its inputs.
 """
 
 from __future__ import annotations
@@ -64,6 +67,7 @@ import numpy as np
 
 from gym_multigrid_tpu.core.constants import COLOR_TO_IDX, CTF_ACTION_TO_VEC
 from gym_multigrid_tpu.core.world import WildfireWorld
+from gym_multigrid_tpu.ops.sampling import PickState
 
 _W = WildfireWorld.OBJECT_TO_IDX
 EMPTY = _W["empty"]
@@ -219,40 +223,6 @@ def reset_rnd_width(t: WfTables) -> int:
     return t.n_cells + t.n_fires + t.n_agents
 
 
-def _prefix_sum_lanes(x):
-    """Inclusive prefix sum along the lane axis of (B, C) int32 —
-    log2(C) shifted adds (Hillis-Steele).  Exact integer math, so it is
-    bit-identical to the tril-matmul form (0/1 counts <= C are exact in
-    f32 too); unlike the matmul it costs no MXU and exists because the
-    per-step auto-reset picks would otherwise burn several (B,C)x(C,C)
-    matmuls per env step on the XLA episode path."""
-    n = x.shape[1]
-    s = 1
-    while s < n:
-        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :n]
-        s *= 2
-    return x
-
-
-def _masked_pick(mask, u, tril):
-    """One-hot of the floor(u*count)-th True lane of (B, C) ``mask``
-    (uniform over the set lanes; all-False rows pick nothing).
-
-    tril = (C, C) f32 lower-triangular ones: prefix sums run as one MXU
-    matmul (no cumsum lowering on Mosaic — the Pallas kernels need this
-    form).  tril = None: plain-XLA consumers use the integer log-doubling
-    prefix sum instead — bit-identical result, no MXU traffic."""
-    count = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
-    r = jnp.minimum((u * count.astype(jnp.float32)).astype(jnp.int32),
-                    count - 1)
-    if tril is None:
-        cum = _prefix_sum_lanes(mask.astype(jnp.int32))
-    else:
-        cum = jnp.dot(
-            mask.astype(jnp.float32), tril,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-    return (cum == r + 1) & mask
 
 
 def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
@@ -388,19 +358,20 @@ def wf_reset_math(t: WfTables, rnd, tril):
     trees = rnd[:, :C] < t.tree_density
     cells = jnp.where(trees, TREE, EMPTY)
 
-    avail = trees
+    # One prefix sum for ALL fire picks, one-pass updates between them
+    # (bit-identical to re-summing; PickState docstring).
+    ps = PickState.make(trees, tril, lane)
     for j in range(t.n_fires):
-        hit = _masked_pick(avail, rnd[:, C + j : C + j + 1], tril)
+        hit, _, ps = ps.pick(rnd[:, C + j : C + j + 1])
         cells = jnp.where(hit, FIRE, cells)
-        avail = avail & ~hit
 
-    free = jnp.ones((B, C), dtype=bool)
+    # Agent spawns start from the all-free mask, whose prefix sum is
+    # lane+1 — no prefix-sum pass at all.
+    ps = PickState.full(B, C, lane)
     pos_cols = []
     base = C + t.n_fires
     for i in range(t.n_agents):
-        hit = _masked_pick(free, rnd[:, base + i : base + i + 1], tril)
-        idx = jnp.sum(jnp.where(hit, lane, 0), axis=1, keepdims=True)
-        free = free & ~hit
+        _, idx, ps = ps.pick(rnd[:, base + i : base + i + 1])
         pos_cols.extend([idx % w, idx // w])
     return cells.astype(jnp.int32), jnp.concatenate(pos_cols, axis=1)
 

@@ -36,6 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gym_multigrid_tpu.ops.sampling import PickState
+
 CTF_BLK = 256  # envs per program instance
 
 A_STAY, A_LEFT, A_DOWN, A_RIGHT, A_UP = 0, 1, 2, 3, 4
@@ -627,37 +629,17 @@ def make_ctf_step_batch(cfg, interpret: bool | None = None,
 # ---------------------------------------------------------------------------
 
 
-def _masked_pick_idx(mask, u, tril):
-    """(B, n) mask -> (B, 1) index of the floor(u*count)-th True lane
-    (uniform over set lanes).  tril = the (n, n) prefix-sum matmul the
-    Mosaic kernels need; tril = None selects the integer log-doubling
-    prefix sum for plain-XLA consumers — bit-identical (exact small
-    ints), no MXU work."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
-    count = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
-    r = jnp.minimum(
-        (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
-    )
-    if tril is None:
-        cum = mask.astype(jnp.int32)
-        step = 1
-        while step < mask.shape[1]:
-            cum = cum + jnp.pad(cum, ((0, 0), (step, 0)))[:, : mask.shape[1]]
-            step *= 2
-    else:
-        cum = jnp.dot(
-            mask.astype(jnp.float32), tril,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-    hit = (cum == r + 1) & mask
-    return jnp.sum(jnp.where(hit, lane, 0), axis=1, keepdims=True), hit
-
-
-def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr, tril_b, tril_r):
+def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr):
     """Spawn positions for a (B, ·) slab: MvN draws non-overlapping cells
     per team (envs/ctf.py reset_fn <- ctf.py:1033-1048), 1v1 draws
     independently (ctf.py:314-323).  rnd: (B, n_blue + n_red) uniforms;
     bterr/rterr: (2, n) i32 territory coordinate lists.
+
+    Each team's without-replacement picks start from the all-free lane
+    set, whose prefix sum is just lane+1, and PickState's one-pass
+    decrement update covers the later picks — so the spawn draw needs no
+    prefix sums (and, in the kernels, no (n,n) tril matmuls) at all,
+    bit-identically to recomputing them (ops/sampling.py).
 
     Returns pos (B, 2*A) i32.
     """
@@ -665,15 +647,14 @@ def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr, tril_b, tril_r):
     nb = bterr.shape[1]
     nr = rterr.shape[1]
 
-    def draw_team(terr, n_cells_, n_agents, base, tril):
+    def draw_team(terr, n_cells_, n_agents, base):
         cols = []
-        avail = jnp.ones((B, n_cells_), dtype=bool)
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_cells_), 1)
+        ps = PickState.full(B, n_cells_, lane)
         for a in range(n_agents):
             u = rnd[:, base + a : base + a + 1]
             if t.mvn:
-                idx, hit = _masked_pick_idx(avail, u, tril)
-                avail = avail & ~hit
+                _, idx, ps = ps.pick(u)
             else:
                 idx = jnp.minimum(
                     (u * n_cells_).astype(jnp.int32), n_cells_ - 1
@@ -690,8 +671,8 @@ def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr, tril_b, tril_r):
             cols.extend([r0, r1])
         return cols
 
-    cols = draw_team(bterr, nb, t.n_blue, 0, tril_b)
-    cols += draw_team(rterr, nr, t.n_red, t.n_blue, tril_r)
+    cols = draw_team(bterr, nb, t.n_blue, 0)
+    cols += draw_team(rterr, nr, t.n_red, t.n_blue)
     return jnp.concatenate(cols, axis=1)
 
 
@@ -701,7 +682,7 @@ def ms_stride(t: CtfKTables) -> int:
 
 
 def _ctf_ms_math(t: CtfKTables, K, pos, dirs, term, coll, sc, run_ret,
-                 packed, cells, border, pool, bterr, rterr, tril_b, tril_r):
+                 packed, cells, border, pool, bterr, rterr):
     """K CtF steps with per-env in-place auto-reset — multi-step kernel
     body AND its pure-jax spec (tests/test_pallas_ctf.py).
 
@@ -734,7 +715,7 @@ def _ctf_ms_math(t: CtfKTables, K, pos, dirs, term, coll, sc, run_ret,
         eps = eps + done.astype(jnp.int32)
         run_ret = jnp.where(done, 0.0, run_ret2)
 
-        rpos = _ctf_reset_math(t, rnd_reset, bterr, rterr, tril_b, tril_r)
+        rpos = _ctf_reset_math(t, rnd_reset, bterr, rterr)
         pos = jnp.where(done, rpos, pos2)
         dirs = jnp.where(done, 3, dirs2)
         term = jnp.where(done, 0, term2)
@@ -753,19 +734,18 @@ def ctf_multistep_slab(t: CtfKTables, pos, dirs, term, coll, sc, run_ret,
     B = pos.shape[0]
     A = t.n_blue + t.n_red
     border, pool = border_pool
-    bterr, rterr, tril_b, tril_r = terr_pack
+    bterr, rterr = terr_pack
     blk = min(CTF_MS_BLK, B)
     grid = (pl.cdiv(B, blk),)
     N = t.s0 * t.s1
 
     def kernel(pos_ref, dirs_ref, term_ref, coll_ref, sc_ref, rr_ref,
                packed_ref, cells_ref, border_ref, pool_ref, bterr_ref,
-               rterr_ref, trilb_ref, trilr_ref, *outs):
+               rterr_ref, *outs):
         res = _ctf_ms_math(
             t, K, pos_ref[:], dirs_ref[:], term_ref[:], coll_ref[:],
             sc_ref[:], rr_ref[:], packed_ref[:], cells_ref[:], border_ref[:],
-            pool_ref[:], bterr_ref[:], rterr_ref[:], trilb_ref[:],
-            trilr_ref[:],
+            pool_ref[:], bterr_ref[:], rterr_ref[:],
         )
         for o_ref, val in zip(outs, res):
             o_ref[:] = val
@@ -796,8 +776,6 @@ def ctf_multistep_slab(t: CtfKTables, pos, dirs, term, coll, sc, run_ret,
             full_spec(2, pool.shape[1]),
             full_spec(2, nb),
             full_spec(2, nr),
-            full_spec(nb, nb),
-            full_spec(nr, nr),
         ],
         out_specs=[row_spec(c) for c in out_cols],
         out_shape=[
@@ -806,25 +784,17 @@ def ctf_multistep_slab(t: CtfKTables, pos, dirs, term, coll, sc, run_ret,
         ],
         interpret=interpret,
     )(pos, dirs, term, coll, sc, run_ret, packed, cells, border, pool,
-      bterr, rterr, tril_b, tril_r)
+      bterr, rterr)
 
 
 def ctf_reset_inputs(cfg):
-    """(bterr, rterr, tril_b, tril_r) static arrays for the reset math."""
+    """(bterr, rterr) static territory coordinate lists for the reset."""
     from gym_multigrid_tpu.envs.ctf import build_tables
 
     t = build_tables(cfg)
     bterr = np.asarray(t.blue_territory, dtype=np.int32).T.copy()
     rterr = np.asarray(t.red_territory, dtype=np.int32).T.copy()
-    nb, nr = bterr.shape[1], rterr.shape[1]
-    tril_b = np.tril(np.ones((nb, nb), dtype=np.float32)).T
-    tril_r = np.tril(np.ones((nr, nr), dtype=np.float32)).T
-    return (
-        jnp.asarray(bterr),
-        jnp.asarray(rterr),
-        jnp.asarray(tril_b),
-        jnp.asarray(tril_r),
-    )
+    return (jnp.asarray(bterr), jnp.asarray(rterr))
 
 
 def make_ctf_episode_rollout(
@@ -879,12 +849,10 @@ def make_ctf_episode_rollout(
                 )
             )
         else:
-            # tril_b/tril_r = None: integer prefix-sum spawn picks (bit-
-            # identical to the kernels' tril matmuls, no MXU work).
             pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
                 _ctf_ms_math(
                     t, K, *args, packed, cells, border, pool,
-                    terr_pack[0], terr_pack[1], None, None,
+                    terr_pack[0], terr_pack[1],
                 )
             )
         states = CtfState(

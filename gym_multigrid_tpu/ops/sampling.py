@@ -14,8 +14,88 @@ layout as the reference ``Grid.grid`` list, reference grid.py:56-64).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+def prefix_sum_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along the lane axis of (B, C) int32 —
+    log2(C) shifted adds (Hillis-Steele).  Exact integer math, so it is
+    bit-identical to the tril-matmul form the Pallas kernels use (0/1
+    counts <= C are exact in f32 too) while costing no MXU traffic."""
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        x = x + jnp.pad(x, ((0, 0), (s, 0)))[:, :n]
+        s *= 2
+    return x
+
+
+def cum_lanes(mask: jax.Array, tril: jax.Array | None) -> jax.Array:
+    """Inclusive per-lane prefix sum of a (B, C) bool mask.
+
+    tril = (C, C) f32 lower-triangular ones: runs as one MXU matmul (no
+    cumsum lowering on Mosaic — the Pallas kernels need this form).
+    tril = None: plain-XLA consumers use the integer log-doubling prefix
+    sum instead — bit-identical result, no MXU work."""
+    if tril is None:
+        return prefix_sum_lanes(mask.astype(jnp.int32))
+    return jnp.dot(
+        mask.astype(jnp.float32), tril,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
+class PickState(NamedTuple):
+    """Sequential without-replacement picks over one shrinking mask,
+    paying the O(C log C) prefix sum (or the kernels' (B,C)x(C,C)
+    matmul) at most ONCE.
+
+    Removing one set lane at ``idx`` turns the recomputed prefix sum into
+    ``cum - (lane >= idx)`` exactly, so every pick after the first costs
+    one elementwise pass instead of a fresh prefix sum.  Outputs are
+    bit-identical to recomputing per pick — the hot consumers are the
+    per-step auto-resets inside the multi-step episode paths, where these
+    picks were most of the reset's work and the result is discarded on
+    every step the env isn't done."""
+
+    mask: jax.Array  # (B, C) bool — remaining candidates
+    cum: jax.Array  # (B, C) int32 — inclusive prefix sum of mask
+    count: jax.Array  # (B, 1) int32 — set lanes in mask
+    lane: jax.Array  # (B, C) int32 — broadcasted lane iota
+
+    @classmethod
+    def make(cls, mask, tril, lane):
+        cum = cum_lanes(mask, tril)
+        return cls(mask, cum, cum[:, -1:], lane)
+
+    @classmethod
+    def full(cls, B, C, lane):
+        """All-lanes-free state: the prefix sum is just lane+1, so picks
+        starting from a full mask never pay a prefix pass at all."""
+        mask = jnp.ones((B, C), dtype=bool)
+        return cls(mask, lane + 1, jnp.full((B, 1), C, jnp.int32), lane)
+
+    def pick(self, u):
+        """Uniform pick among remaining set lanes (all-False rows pick
+        nothing).  Returns (one-hot hit (B,C), lane index (B,1), next)."""
+        r = jnp.minimum(
+            (u * self.count.astype(jnp.float32)).astype(jnp.int32),
+            self.count - 1,
+        )
+        hit = (self.cum == r + 1) & self.mask
+        picked = jnp.any(hit, axis=1, keepdims=True)
+        idx = jnp.sum(jnp.where(hit, self.lane, 0), axis=1, keepdims=True)
+        dec = ((self.lane >= idx) & picked).astype(jnp.int32)
+        nxt = PickState(
+            self.mask & ~hit,
+            self.cum - dec,
+            self.count - picked.astype(jnp.int32),
+            self.lane,
+        )
+        return hit, idx, nxt
 
 
 def masked_uniform_choice(key: jax.Array, mask: jax.Array) -> jax.Array:

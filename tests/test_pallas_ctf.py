@@ -379,11 +379,11 @@ def test_ctf_reset_math_matches_core_distribution():
 
     cfg = _cfg()
     t = make_ctf_ktables(cfg)
-    bterr, rterr, tril_b, tril_r = ctf_reset_inputs(cfg)
+    bterr, rterr = ctf_reset_inputs(cfg)
     B = 256
     rnd = jax.random.uniform(jax.random.PRNGKey(0), (B, 4))
     pos = np.asarray(
-        _ctf_reset_math(t, rnd, bterr, rterr, tril_b, tril_r)
+        _ctf_reset_math(t, rnd, bterr, rterr)
     ).reshape(B, 4, 2)
     bset = {tuple(c) for c in np.asarray(bterr).T}
     rset = {tuple(c) for c in np.asarray(rterr).T}
