@@ -98,6 +98,13 @@ def distributed_initialize(**kwargs) -> None:
     On a pod slice each host calls this before building the mesh; the env
     batch then spans all hosts' chips (process-local shards addressed by
     jax.local_devices()).  No-op if already initialized.
+
+    The multi-process path is executed for real (N OS processes, one
+    coordinator, gloo cross-process collectives as the DCN stand-in) by
+    scripts/multihost_dryrun.py — run by tests/test_multihost.py on every
+    suite run; committed records in artifacts/multihost_dryrun*.json show
+    the sharded PPO train step matching a single-process run at the same
+    global device count.
     """
     try:
         jax.distributed.initialize(**kwargs)

@@ -1,0 +1,350 @@
+"""True multi-host (multi-process) execution of the sharded training stack.
+
+SURVEY.md §2.4 P3 claims the env batch spans hosts via
+``jax.distributed.initialize`` with DCN collectives; until round 3 that path
+had never executed (every "multi-chip" run was one process on a virtual
+mesh).  This script runs the real thing on localhost CPU: N OS processes,
+each a JAX "host" with K forced devices, connected through a coordinator,
+with gloo cross-process collectives standing in for DCN.  Multi-process JAX
+has semantics a single-process dryrun cannot catch — non-addressable shards,
+per-process ``jax.local_devices()``, global-array assembly — and this
+exercises all of them end to end:
+
+  * the full jitted PPO train step (rollout + GAE + minibatched update)
+    over a global ('data','model') mesh whose data axis spans processes —
+    gradient all-reduces cross the process boundary;
+  * the explicit shard_map rollout (parallel/shard.py) with per-shard
+    fold_in RNG and cross-process psum episode metrics;
+  * bit-comparison of every loss against a single-process run at the same
+    global device count (the GSPMD program is identical; only the transport
+    differs).
+
+Launcher (default):
+  python scripts/multihost_dryrun.py [--num-processes 2] [--local-devices 4]
+      [--steps 2] [--out artifacts/multihost_dryrun.json]
+spawns the single-process reference plus N coordinator-connected workers,
+compares losses, and writes the artifact.
+
+Worker (spawned): --process-id I --coordinator-port P.
+
+Reference analogue: none — the reference is single-process Python
+(SURVEY.md §2.4); this validates the framework's own scaling claim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-processes", type=int, default=2)
+    p.add_argument("--local-devices", type=int, default=4)
+    p.add_argument("--process-id", type=int, default=None,
+                   help="worker mode (spawned by the launcher)")
+    p.add_argument("--coordinator-port", type=int, default=None)
+    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--tp", type=int, default=2,
+                   help="model-parallel degree of the global mesh")
+    p.add_argument("--rollout-steps", type=int, default=16)
+    p.add_argument("--out", default=None)
+    p.add_argument("--timeout", type=int, default=560)
+    return p.parse_args(argv)
+
+
+# ---------------------------------------------------------------- worker
+
+
+def run_worker(args) -> dict:
+    """One JAX process: initialize, build the global mesh, train + rollout.
+
+    Returns the result record (also printed as one JSON line so the
+    launcher can scrape it from a subprocess).
+    """
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.local_devices}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{args.coordinator_port}",
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    import numpy as np
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+    from gym_multigrid_tpu.parallel.mesh import (
+        batch_tree_shardings,
+        make_mesh,
+        opt_tp_shardings,
+        param_tp_shardings,
+        replicated,
+    )
+    from gym_multigrid_tpu.parallel.shard import sharded_rollout
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+    from gym_multigrid_tpu.rl.networks import ActorCritic
+    from gym_multigrid_tpu.rl.ppo import PPOConfig, make_ppo
+
+    n_global = args.num_processes * args.local_devices
+    assert len(jax.devices()) == n_global, (
+        f"global device count {len(jax.devices())} != {n_global}"
+    )
+    tp = args.tp if n_global % args.tp == 0 else 1
+    mesh = make_mesh(n_global, model_parallel=tp)
+    dp = mesh.shape["data"]
+
+    # Short episodes so the rollout's cross-process episode-return psum
+    # reduces a nonzero count (max_steps=8 < rollout_len: every env
+    # truncates at least once).
+    cfg = CollectConfig(
+        layout="quadrants_respawn", respawn=True, max_steps=8
+    )
+    num_envs = max(8 * dp, 16)
+    env = make_collect_batch(cfg, num_envs, auto_reset=True)
+    net = ActorCritic(num_actions=4, num_agents=cfg.num_agents)
+    ppo_cfg = PPOConfig(rollout_len=8, num_epochs=2, num_minibatches=2)
+    init_fn, train_step = make_ppo(env, net, ppo_cfg)
+
+    # Every process computes the SAME host-side init (deterministic from the
+    # key) and materialises only its addressable shards of the global
+    # arrays — the multi-process idiom make_array_from_callback exists for.
+    params, opt_state, states = jax.device_get(
+        jax.jit(init_fn)(jax.random.PRNGKey(0))
+    )
+
+    p_shard = param_tp_shardings(params, mesh)
+    opt_shard = opt_tp_shardings(opt_state, mesh)
+    s_shard = batch_tree_shardings(states, mesh)
+    k_shard = replicated(mesh)
+
+    def to_global(tree, shardings):
+        def one(x, sh):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx]
+            )
+
+        return jax.tree_util.tree_map(one, tree, shardings)
+
+    params = to_global(params, p_shard)
+    opt_state = to_global(opt_state, opt_shard)
+    states = to_global(states, s_shard)
+    key = to_global(np.asarray(jax.random.PRNGKey(1)), k_shard)
+
+    # Pin out_shardings to the declared layouts: without them GSPMD may
+    # propagate a different output sharding (e.g. a bias picking up
+    # P('model')), and multi-process jit refuses the implicit reshard on
+    # the next call — exactly the class of bug only a real multi-process
+    # run surfaces.
+    m_shapes = jax.eval_shape(
+        train_step, params, opt_state, states, key
+    )[4]
+    m_shard = jax.tree_util.tree_map(lambda _: k_shard, m_shapes)
+    step = jax.jit(
+        train_step,
+        in_shardings=(p_shard, opt_shard, s_shard, k_shard),
+        out_shardings=(p_shard, opt_shard, s_shard, k_shard, m_shard),
+        donate_argnums=(1, 2),
+    )
+    losses, ep_counts = [], []
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        params, opt_state, states, key, metrics = step(
+            params, opt_state, states, key
+        )
+        jax.block_until_ready(metrics["loss"])
+        losses.append(float(metrics["loss"]))
+        ep_counts.append(int(metrics["episodes"]))
+    train_s = time.perf_counter() - t0
+
+    # Explicit-collective path: shard_map rollout, psum'd episode metrics.
+    rollout = jax.jit(
+        lambda s, k: sharded_rollout(env, mesh)(s, k, args.rollout_steps)
+    )
+    env_states, roll_metrics = rollout(
+        states.env, to_global(np.asarray(jax.random.PRNGKey(2)), k_shard)
+    )
+    jax.block_until_ready(roll_metrics["reward_sum"])
+
+    record = {
+        "num_processes": args.num_processes,
+        "process_id": args.process_id or 0,
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+        "mesh": {"data": dp, "model": tp},
+        "num_envs": num_envs,
+        "losses": losses,
+        "train_episodes": ep_counts,
+        "rollout_episodes": int(roll_metrics["episodes"]),
+        "rollout_reward_sum": float(roll_metrics["reward_sum"]),
+        "train_seconds": round(train_s, 2),
+    }
+    print("MULTIHOST_RESULT " + json.dumps(record), flush=True)
+    return record
+
+
+# -------------------------------------------------------------- launcher
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _scrape(output: str) -> dict:
+    for line in output.splitlines():
+        if line.startswith("MULTIHOST_RESULT "):
+            return json.loads(line[len("MULTIHOST_RESULT "):])
+    raise RuntimeError(f"no result line in output:\n{output[-2000:]}")
+
+
+def _spawn(extra: list[str], args) -> subprocess.Popen:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Persistent compile cache is per-process safe and keeps reruns fast.
+    base = [
+        sys.executable, os.path.abspath(__file__),
+        "--steps", str(args.steps),
+        "--rollout-steps", str(args.rollout_steps),
+        "--tp", str(args.tp),
+    ]
+    return subprocess.Popen(
+        base + extra,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+
+
+def run_launcher(args) -> int:
+    n, k = args.num_processes, args.local_devices
+
+    # Single-process reference at the SAME global device count: the GSPMD
+    # partitioning is identical, so every loss must match bit-for-bit.
+    ref_proc = _spawn(
+        ["--process-id", "0", "--num-processes", "1",
+         "--local-devices", str(n * k)],
+        args,
+    )
+
+    port = _free_port()
+    workers = [
+        _spawn(
+            ["--process-id", str(i), "--num-processes", str(n),
+             "--local-devices", str(k), "--coordinator-port", str(port)],
+            args,
+        )
+        for i in range(n)
+    ]
+
+    procs = [ref_proc] + workers
+    outs, rcs = [], []
+    deadline = time.time() + args.timeout
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=max(5, deadline - time.time()))
+            outs.append(out)
+            rcs.append(p.returncode)
+    except subprocess.TimeoutExpired:
+        for p in procs:  # exact PIDs we spawned — never pattern-kill
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            out, _ = p.communicate()
+            outs.append(out)
+            rcs.append(p.returncode)
+        print(json.dumps({"ok": False, "error": "timeout", "rcs": rcs}))
+        return 1
+
+    if any(rc != 0 for rc in rcs):
+        for out, rc in zip(outs, rcs):
+            if rc != 0:
+                sys.stderr.write(out[-3000:] + "\n")
+        print(json.dumps({"ok": False, "error": "worker failed", "rcs": rcs}))
+        return 1
+
+    ref = _scrape(outs[0])
+    results = [_scrape(o) for o in outs[1:]]
+
+    loss_sets = [tuple(r["losses"]) for r in results]
+    workers_agree = len(set(loss_sets)) == 1
+    rel_per_step = [
+        max(
+            abs(r["losses"][t] - ref["losses"][t])
+            / max(abs(ref["losses"][t]), 1e-12)
+            for r in results
+        )
+        for t in range(args.steps)
+    ]
+    bit_exact = all(r["losses"] == ref["losses"] for r in results)
+    # The partitioned program is identical across transports, but gloo's
+    # cross-process all-reduce order differs from the single-process one,
+    # so f32 sums differ in the last bits and adam amplifies that step
+    # over step.  The honest bar: step-1 loss tight (1e-3 — pure
+    # reduction-order noise), later steps bounded (5e-2), every process
+    # bit-identical to its peers, and the psum'd episode count exact.
+    ok = (
+        workers_agree
+        and rel_per_step[0] < 1e-3
+        and all(r < 5e-2 for r in rel_per_step)
+        and all(r["rollout_episodes"] > 0 for r in results)
+        and all(
+            r["rollout_episodes"] == ref["rollout_episodes"]
+            for r in results
+        )
+    )
+
+    artifact = {
+        "ok": ok,
+        "num_processes": n,
+        "local_devices_per_process": k,
+        "global_devices": n * k,
+        "mesh": results[0]["mesh"],
+        "num_envs": results[0]["num_envs"],
+        "train_steps": args.steps,
+        "losses_multiprocess": results[0]["losses"],
+        "losses_single_process": ref["losses"],
+        "loss_bit_exact_vs_single_process": bit_exact,
+        "loss_rel_err_per_step": rel_per_step,
+        "workers_agree": workers_agree,
+        "rollout_episodes": results[0]["rollout_episodes"],
+        "rollout_reward_sum": results[0]["rollout_reward_sum"],
+        "train_seconds_per_process": [r["train_seconds"] for r in results],
+        "collectives": "gloo (cross-process CPU; DCN stand-in)",
+    }
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
+    print(json.dumps(artifact))
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if args.process_id is not None:
+        run_worker(args)
+        return 0
+    return run_launcher(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
