@@ -131,7 +131,10 @@ def measure_point(
         net = ActorCritic(num_actions=num_actions,
                           num_agents=agents_fn(cfg))
         init_fn, train_step = make_ppo(
-            env, net, PPOConfig(rollout_len=steps, num_minibatches=2)
+            env, net,
+            PPOConfig(
+                rollout_len=steps, num_minibatches=2, dp_shards=n_devices
+            ),
         )
         params, opt_state, states = init_fn(jax.random.PRNGKey(0))
         rep = replicated(mesh)

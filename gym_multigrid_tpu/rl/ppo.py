@@ -47,6 +47,17 @@ class PPOConfig:
     # ints.  "int8" cuts the dominant PPO buffer 4x vs int32 — at 1M envs
     # that's what bounds rollout_len in HBM.  None keeps the env's dtype.
     obs_buffer_dtype: str | None = None
+    # Data-parallel shard count of the env batch.  The per-epoch shuffle
+    # draws an INDEPENDENT permutation per shard, so minibatch gathers stay
+    # shard-local: without this, flattening the (T, B)-buffer for a global
+    # shuffle makes GSPMD all-gather the entire rollout buffer onto every
+    # device each epoch (tests/test_comm_audit.py pins the inventory).
+    # Gradients still reduce over the full global minibatch; only the
+    # shuffle is blockwise.  Distribution-parity note: a blockwise shuffle
+    # over iid-sharded envs has the same minibatch marginals as SB3's
+    # global shuffle.  Set to the mesh's 'data' axis size; 1 (default)
+    # shuffles globally (single-chip semantics).
+    dp_shards: int = 1
 
 
 class RolloutCarry(NamedTuple):
@@ -181,34 +192,54 @@ def make_update_fn(net, tx, cfg: PPOConfig):
         advantages, returns = _gae(traj, last_value)
 
         T, B = traj.reward.shape
-        n = T * B
-        assert n % cfg.num_minibatches == 0, (
-            f"rollout_len*num_envs={n} not divisible by "
+        S = cfg.dp_shards
+        assert B % S == 0, f"num_envs={B} not divisible by dp_shards={S}"
+        n_local = T * (B // S)
+        assert n_local % cfg.num_minibatches == 0, (
+            f"rollout_len*num_envs/dp_shards={n_local} not divisible by "
             f"num_minibatches={cfg.num_minibatches}"
         )
-        mb_size = n // cfg.num_minibatches
+        mb_local = n_local // cfg.num_minibatches
 
-        flat = (
-            traj.obs.reshape((n,) + traj.obs.shape[2:]),
-            traj.actions.reshape((n,) + traj.actions.shape[2:]),
-            traj.logp.reshape(n),
-            advantages.reshape(n),
-            returns.reshape(n),
+        def to_shard_major(x):
+            # (T, B, ...) -> (S, T*B/S, ...): env-major flatten keeps the
+            # dp-sharded env axis leading through the reshape, so every
+            # shard's samples stay on their device (a T-major flatten
+            # would interleave shards and force the all-gather this
+            # layout exists to avoid).
+            x = jnp.moveaxis(x, 1, 0)
+            return x.reshape((S, n_local) + x.shape[2:])
+
+        flat = jax.tree_util.tree_map(
+            to_shard_major,
+            (traj.obs, traj.actions, traj.logp, advantages, returns),
         )
 
         def one_epoch(carry, k_ep):
             params, opt_state = carry
-            # Fresh shuffle per epoch; static minibatch count -> scan over
-            # the (num_minibatches, mb_size) index slices.  Each minibatch
-            # gathers its own rows inside the scan body, so peak HBM holds
-            # the flat buffer plus ONE minibatch — materializing the whole
-            # shuffled copy up front would double the dominant buffer.
-            perm = jax.random.permutation(k_ep, n)
-            idxs = perm.reshape((cfg.num_minibatches, mb_size))
+            # Fresh shuffle per epoch, independent per shard; static
+            # minibatch count -> scan over (num_minibatches, S, mb_local)
+            # index slices.  Each minibatch gathers its own rows inside
+            # the scan body, so peak HBM holds the flat buffer plus ONE
+            # minibatch — materializing the whole shuffled copy up front
+            # would double the dominant buffer.
+            perm = jax.vmap(
+                lambda k: jax.random.permutation(k, n_local)
+            )(jax.random.split(k_ep, S))
+            idxs = perm.reshape(
+                (S, cfg.num_minibatches, mb_local)
+            ).transpose(1, 0, 2)
 
             def one_minibatch(carry, idx):
                 params, opt_state = carry
-                mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                # Per-shard row gather (idx row i indexes shard i only),
+                # then a local flatten to the (S*mb_local,) minibatch.
+                mb = jax.tree_util.tree_map(
+                    lambda x: jax.vmap(lambda row, ii: row[ii])(
+                        x, idx
+                    ).reshape((S * mb_local,) + x.shape[2:]),
+                    flat,
+                )
                 (_, metrics), grads = jax.value_and_grad(
                     _loss, has_aux=True
                 )(params, mb)

@@ -116,7 +116,9 @@ def run_worker(args) -> dict:
     num_envs = max(8 * dp, 16)
     env = make_collect_batch(cfg, num_envs, auto_reset=True)
     net = ActorCritic(num_actions=4, num_agents=cfg.num_agents)
-    ppo_cfg = PPOConfig(rollout_len=8, num_epochs=2, num_minibatches=2)
+    ppo_cfg = PPOConfig(
+        rollout_len=8, num_epochs=2, num_minibatches=2, dp_shards=dp
+    )
     init_fn, train_step = make_ppo(env, net, ppo_cfg)
 
     # Every process computes the SAME host-side init (deterministic from the
