@@ -160,11 +160,14 @@ def test_ctf_1v1_battle_loss_ends_episode():
     fm = cfg.field_map
     # blue standing in RED territory, red in red territory -> p_blue = 1 -
     # randomness = 0 -> blue always loses
-    red_cells = np.argwhere(fm == 1)
-    c0, c1 = red_cells[0], red_cells[1]
+    # Any contiguous red half has an adjacent cell pair — find one instead
+    # of sampling-and-skipping (VERDICT r2 weak item 5).
+    red_set = {tuple(c) for c in np.argwhere(fm == 1)}
+    c0, c1 = next(
+        ((a, b) for a in sorted(red_set)
+         for b in ((a[0] + 1, a[1]), (a[0], a[1] + 1)) if b in red_set),
+    )
     pos = [[[int(c0[0]), int(c0[1])], [int(c1[0]), int(c1[1])]]]
-    if abs(c0 - c1).sum() > 1:
-        pytest.skip("first two red cells not adjacent on this board")
     pos_a, dirs, term, coll = _arrays(cfg, pos)
     rnd = jnp.full((1, rnd_width(t)), 0.99, jnp.float32)
     rnd = rnd.at[0, 3].set(0.05)  # red rw -> stay
@@ -264,13 +267,17 @@ def test_ctf_kernel_battle_outcomes():
     t = make_ctf_ktables(cfg)
     cells, border, pool = ctf_static_inputs(cfg)
     fm = cfg.field_map
-    blue_cell = np.argwhere(fm == 0)[0]
+    # Need blue on own territory with red ADJACENT but off red territory:
+    # two adjacent blue-territory cells.  A contiguous blue half always has
+    # such a pair — find it instead of sampling-and-skipping.
+    blue_set = {tuple(c) for c in np.argwhere(fm == 0)}
+    blue_cell, red_pos = next(
+        ((a, b) for a in sorted(blue_set)
+         for b in ((a[0] + 1, a[1]), (a[0], a[1] + 1)) if b in blue_set),
+    )
     pos = [[[int(blue_cell[0]), int(blue_cell[1])],
-            [int(blue_cell[0]), int(blue_cell[1]) + 1]]]
+            [int(red_pos[0]), int(red_pos[1])]]]
     pos_a, dirs, term, coll = _arrays(cfg, pos)
-    red_in_own = fm[int(blue_cell[0]), int(blue_cell[1]) + 1] == 1
-    if red_in_own:
-        pytest.skip("adjacent cell is red territory on this board")
     rnd = jnp.full((1, rnd_width(t)), 0.99, jnp.float32)
     rnd = rnd.at[0, 3].set(0.05)  # red rw action draw -> stay
     out = _ctf_step_math(
