@@ -596,6 +596,42 @@ def make_collect(cfg: CollectConfig):
     return reset_fn, step_fn, encode_fn
 
 
+def make_collect_partial_encode(
+    cfg: CollectConfig, view_size: int = 7, see_through_walls: bool = False
+):
+    """Batched agent-FOV observations: ``fn(state) -> (n_agents, V, V, 3)``.
+
+    The in-graph counterpart of the host ``MultiGridEnv.gen_obs`` pipeline
+    (reference multigrid.py:485-545 — dead code upstream, fixed host-side
+    here): view slice + rotate-to-face-up + shadow-cast visibility + masked
+    encode, vmappable over envs.  Collect agents always face dir 3
+    (multigrid.py:374 place_agent default; move_agent never turns), matching
+    the host engine.  Differentially tested against the host pipeline in
+    tests/test_partial_obs.py.
+    """
+    from gym_multigrid_tpu.envs.partial_obs import make_partial_obs_fn
+
+    w = h = cfg.size
+    obs_fn = make_partial_obs_fn(
+        w, h, view_size,
+        wall_encode=(WALL, WALL_COLOR, 0),
+        see_through_walls=see_through_walls,
+    )
+
+    def encode_partial(state: CollectState) -> jax.Array:
+        obj = state.grid_obj.reshape(h, w).T  # xy-indexed (W, H)
+        color = state.grid_color.reshape(h, w).T
+        ch2 = jnp.where(obj == AGENT, AGENT_DIR, 0)
+        planes = jnp.stack([obj, color, ch2])
+        opaque = obj == WALL  # walls are the only sight blockers in Collect
+        dirs = jnp.full((state.agent_pos.shape[0],), AGENT_DIR, jnp.int32)
+        return jax.vmap(
+            lambda p, d: obs_fn(planes, opaque, p, d)
+        )(state.agent_pos, dirs)
+
+    return encode_partial
+
+
 @functools.cache
 def cached_collect(cfg: CollectConfig):
     """Memoized (reset, step, encode) with jit applied."""

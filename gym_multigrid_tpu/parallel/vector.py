@@ -170,9 +170,19 @@ class BatchedEnv:
 
 
 def make_collect_batch(
-    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+    cfg,
+    num_envs: int,
+    auto_reset: bool = True,
+    use_pallas: bool = False,
+    partial_obs_view: int | None = None,
 ) -> BatchedEnv:
-    from gym_multigrid_tpu.envs.collect import make_collect
+    """partial_obs_view=V swaps the full-grid encode for the batched
+    agent-FOV pipeline (envs/partial_obs.py): per-env observations become
+    (n_agents, V, V, 3) uint8."""
+    from gym_multigrid_tpu.envs.collect import (
+        make_collect,
+        make_collect_partial_encode,
+    )
 
     reset_one, step_one, encode_one = make_collect(cfg)
     # Slab math is the default XLA path (see make_ctf_batch); the fused
@@ -180,6 +190,16 @@ def make_collect_batch(
     from gym_multigrid_tpu.ops.pallas_collect import make_collect_step_batch
 
     step_batch = make_collect_step_batch(cfg, use_kernel=use_pallas)
+    if partial_obs_view is not None:
+        encode_one = make_collect_partial_encode(cfg, partial_obs_view)
+        raw_step_batch = step_batch
+
+        def step_batch(states, actions):
+            # The slab transition computes the full-grid encode; swap in
+            # the FOV pipeline on the post-step (pre-auto-reset) states.
+            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
+            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+
     return BatchedEnv(
         reset_one=reset_one,
         step_one=step_one,

@@ -3,17 +3,26 @@ and (optionally) a TensorBoard-loadable xplane trace.
 
 Usage:
   python scripts/profile_rollout.py [--family collect] [--batch 8192]
-      [--steps 100] [--trace /tmp/trace] [--cpu] [--pallas]
+      [--steps 200] [--path xla-ms|xla-step|pallas-ms] [--trace DIR]
+      [--cpu] [--json]
 
-Prints one line per run with achieved agent-steps/s and the
-bandwidth-bound SOL fraction (utils/profiling.py).  On CPU the SOL
-numbers are meaningless (the table is calibrated for TPU HBM) — use
---cpu only to smoke the plumbing.
+Per run prints achieved agent-steps/s and the bandwidth-bound SOL fraction
+(utils/profiling.py).  The bytes/step model counts the traffic the design
+REQUIRES: state planes read+written once per env step (amortized over the
+multi-step chunk for the ms paths) plus the pre-drawn uniform/action stream
+written once and read once.  Intermediates XLA chooses to materialize are
+not modeled — so the reported fraction is a lower bound on distance from
+the true roofline (achieved / designed-traffic ceiling).
+
+On CPU the SOL numbers are meaningless (the table is calibrated for TPU
+HBM) — use --cpu only to smoke the plumbing.  scripts/sol_record.py runs
+this across families/paths and commits artifacts/sol_report.json.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -21,7 +30,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def designed_bytes_per_env_step(family: str, cfg, path: str, chunk: int) -> int:
+    """Mandatory HBM bytes per env step under `path` (see module doc)."""
+    if family == "collect":
+        # ms draw layout: A action floats + 3 uniforms per env step
+        # (ops/pallas_collect.make_collect_episode_rollout).
+        n = cfg.size * cfg.size
+        state = 3 * n * 4 + cfg.num_agents * 2 * 4 + 3 * 4 + 8
+        rand = (cfg.num_agents + 3) * 4
+    elif family == "ctf":
+        from gym_multigrid_tpu.ops.pallas_ctf import (
+            make_ctf_ktables,
+            ms_stride,
+        )
+
+        t = make_ctf_ktables(cfg)
+        a = cfg.num_agents
+        state = a * 2 * 4 + a * 4 + a + a + 4 + 8
+        rand = ms_stride(t) * 4
+    elif family == "maze":
+        from gym_multigrid_tpu.ops.pallas_maze import MS_STRIDE
+
+        state = 2 * 4 + 4 + 4 + 8
+        rand = MS_STRIDE * 4
+    elif family == "wildfire":
+        from gym_multigrid_tpu.envs.wildfire import (
+            reset_rnd_width,
+            step_rnd_width,
+            wf_tables,
+        )
+
+        t = wf_tables(cfg)
+        state = t.n_cells * 4 + t.n_agents * 2 * 4 + 4 + 4 + 8
+        rand = (
+            t.n_agents + step_rnd_width(t) + reset_rnd_width(t)
+        ) * 4
+    else:
+        raise ValueError(family)
+
+    if path in ("xla-ms", "pallas-ms"):
+        # State crosses HBM once per CHUNK (kernel: VMEM-resident; XLA:
+        # at worst rematerialized per step — the model stays the designed
+        # minimum); uniforms are written once + read once per step.
+        return int(2 * state / max(chunk, 1) + 2 * rand)
+    return int(2 * state + 2 * rand)
+
+
+def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument(
         "--family",
@@ -29,13 +84,18 @@ def main() -> None:
         choices=["collect", "ctf", "maze", "wildfire"],
     )
     p.add_argument("--batch", type=int, default=8192)
-    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--steps", type=int, default=200)
     p.add_argument("--reps", type=int, default=4)
-    p.add_argument("--pallas", action="store_true")
+    p.add_argument(
+        "--path",
+        default="xla-ms",
+        choices=["xla-step", "xla-ms", "pallas-ms"],
+    )
     p.add_argument("--trace", default=None, help="xplane trace output dir")
     p.add_argument("--chip", default="v5e")
     p.add_argument("--cpu", action="store_true")
-    args = p.parse_args()
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
 
     import jax
 
@@ -46,16 +106,20 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from bench_multichip import build_env
+    from bench_all import MS_CHUNKS, _family_cfg, _make_runner, align_steps
     from gym_multigrid_tpu.utils.profiling import (
-        sol_report,
-        state_nbytes,
+        HBM_BYTES_PER_S,
         trace,
     )
 
-    env, _cfg, agents = build_env(args.family, args.batch, args.pallas)
-    init = jax.jit(lambda k: env.reset(k)[0])
-    run = jax.jit(lambda s, k: env.rollout(s, k, args.steps))
+    steps = align_steps(args.family, args.steps)
+    made = _make_runner(args.family, args.batch, steps, args.path)
+    if made is None:
+        print(f"path {args.path} unsupported for {args.family} here")
+        return 1
+    init, run, agents = made
+    cfg = _family_cfg(args.family)[0]
+    chunk = MS_CHUNKS.get(args.path, {}).get(args.family, 1)
 
     states = init(jax.random.PRNGKey(0))
     states, m = run(states, jax.random.PRNGKey(1))  # compile + warm
@@ -67,30 +131,47 @@ def main() -> None:
             jax.block_until_ready(m["reward_sum"])
         print(f"trace written to {args.trace} (load in TensorBoard)")
 
-    t0 = time.perf_counter()
-    for r in range(args.reps):
-        states, m = run(states, jax.random.PRNGKey(3 + r))
-    jax.block_until_ready(m["reward_sum"])
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for w in range(3):
+        t0 = time.perf_counter()
+        for r in range(args.reps):
+            states, m = run(states, jax.random.PRNGKey(3 + 7 * w + r))
+        jax.block_until_ready(m["reward_sum"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    env_steps_per_s = args.batch * args.steps * args.reps / dt
-    sol = sol_report(
-        env_steps_per_s,
-        state_nbytes(states),
-        args.batch,
-        chip=args.chip,
+    env_steps_per_s = args.batch * steps * args.reps / best_dt
+    bytes_per_env_step = designed_bytes_per_env_step(
+        args.family, cfg, args.path, chunk
     )
-    print(
-        f"{args.family} batch={args.batch} "
-        f"path={'pallas' if args.pallas else 'xla'} "
-        f"backend={jax.default_backend()}: "
-        f"{env_steps_per_s * agents:,.0f} agent-steps/s, "
-        f"{sol.achieved_steps_per_s:,.0f} batched-steps/s vs "
-        f"{sol.ceiling_steps_per_s:,.0f} bandwidth ceiling "
-        f"({100 * sol.sol_fraction:.1f}% of {args.chip} HBM SOL, "
-        f"{sol.bytes_per_step / 1e6:.1f} MB/step)"
-    )
+    bw = HBM_BYTES_PER_S.get(args.chip, HBM_BYTES_PER_S["v5e"])
+    ceiling_env_steps = bw / bytes_per_env_step
+    frac = env_steps_per_s / ceiling_env_steps
+    rec = {
+        "family": args.family,
+        "path": args.path,
+        "batch": args.batch,
+        "backend": jax.default_backend(),
+        "agent_steps_per_s": round(env_steps_per_s * agents, 1),
+        "env_steps_per_s": round(env_steps_per_s, 1),
+        "designed_bytes_per_env_step": bytes_per_env_step,
+        "hbm_ceiling_env_steps_per_s": round(ceiling_env_steps, 1),
+        "sol_fraction": round(frac, 4),
+        "chip": args.chip,
+    }
+    if args.json:
+        print(json.dumps(rec))
+    else:
+        print(
+            f"{args.family} batch={args.batch} path={args.path} "
+            f"backend={jax.default_backend()}: "
+            f"{rec['agent_steps_per_s']:,.0f} agent-steps/s, "
+            f"{env_steps_per_s:,.0f} env-steps/s vs "
+            f"{ceiling_env_steps:,.0f} designed-traffic ceiling "
+            f"({100 * frac:.1f}% of {args.chip} HBM SOL, "
+            f"{bytes_per_env_step} B/env-step)"
+        )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
