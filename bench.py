@@ -52,13 +52,15 @@ def main():
         # per launch with bulk pre-drawn randomness, episode reset fused
         # in (190.3M agent-steps/s vs 87.7M for the fused Pallas episode
         # kernel and 86.6M for the per-step slab rollout under identical
-        # settings; this harness's longer timed windows amortize launch
-        # dispatch further, measuring ~249M).
+        # settings); round-3 per-process sweeps moved the chunk to 25
+        # (158.8M env-steps/s vs 156.9M at 50, fresh-process numbers).
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )
 
-        rollout = make_collect_episode_rollout(cfg, chunk=50, use_kernel=False)
+        rollout = make_collect_episode_rollout(
+            cfg, chunk=25, use_kernel=False, rnd_mode="packed"
+        )
         run = jax.jit(lambda s, k: rollout(s, k, STEPS_PER_CALL))
     else:
 

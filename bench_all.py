@@ -45,15 +45,25 @@ BASELINES = {
     "wildfire": 10_000_000.0,  # north-star target, no reference code exists
 }
 
-# Fastest measured (family, path) chunk sizes (interleaved A/B sweeps on
-# the real chip, v5e @ batch 8192).  The XLA multi-step paths take deep
-# unrolls — maze keeps gaining through 200+ steps/launch (single agent,
-# tiny program), ctf peaks at 50 (code size bites at 100: 201M vs 324M),
-# wildfire at 8.  The kernels are capped by scoped VMEM, which grows
-# with unroll length (~16 MB limit), so they keep shallower chunks.
+# Fastest measured (family, path) chunk sizes and RNG modes (per-process
+# sweeps on the real chip, v5e @ batch 8192 — round 3).  rnd_mode
+# "inloop" draws each step's uniforms inside the unrolled body so the
+# threefry bits fuse into their consumers and the whole rollout can go
+# VMEM-resident — a 100-200x win where the uniform stream dominates HBM
+# traffic (wildfire: 518 f32/env/step -> ~200x).  Where the stream is
+# small (collect 5, maze 2, ctf ~20 f32/step), bulk pre-drawing
+# ("packed") vectorizes the RNG better and stays ahead
+# (artifacts/inloop_rng.md has the full sweep).  The kernels are capped by scoped VMEM, which grows with
+# unroll length (~16 MB limit), so they keep shallower chunks.
 MS_CHUNKS = {
-    "xla-ms": {"collect": 50, "ctf": 50, "maze": 200, "wildfire": 8},
+    "xla-ms": {"collect": 25, "ctf": 50, "maze": 200, "wildfire": 16},
     "pallas-ms": {"collect": 15, "ctf": 25, "maze": 25, "wildfire": 8},
+}
+MS_MODE = {
+    "collect": "packed",
+    "ctf": "packed",
+    "maze": "packed",
+    "wildfire": "inloop",
 }
 
 # Headline path per family; the rest are measured with --all-paths.
@@ -108,25 +118,26 @@ def _family_cfg(family: str):
 
 def _episode_rollout(family: str, cfg, use_kernel: bool):
     chunk = MS_CHUNKS["pallas-ms" if use_kernel else "xla-ms"][family]
+    mode = MS_MODE[family]
     if family == "collect":
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )
 
         return make_collect_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode
         )
     if family == "ctf":
         from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
 
         return make_ctf_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode
         )
     if family == "maze":
         from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
 
         return make_maze_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode
         )
     if family == "wildfire":
         from gym_multigrid_tpu.ops.pallas_wildfire import (
@@ -134,7 +145,7 @@ def _episode_rollout(family: str, cfg, use_kernel: bool):
         )
 
         return make_wildfire_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode
         )
     raise ValueError(family)
 
@@ -215,9 +226,48 @@ def main(argv=None):
         choices=["threefry2x32", "rbg"],
         help="bit generator for the rollout uniforms (rbg = XLA-native)",
     )
+    p.add_argument(
+        "--no-isolate",
+        action="store_true",
+        help="measure all families in THIS process (debug only: on the "
+        "one-chip tunnel, programs degrade massively once other "
+        "families' executables have run in the same client — measured "
+        "13.2B -> 63M agent-steps/s for wildfire xla-ms)",
+    )
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    families = args.families.split(",")
+    if len(families) > 1 and not args.no_isolate:
+        # One subprocess per family: honest per-family numbers.
+        import subprocess
+
+        lines = []
+        for family in families:
+            sub = [
+                sys.executable, os.path.abspath(__file__),
+                "--families", family,
+                "--batch", str(args.batch),
+                "--steps", str(args.steps),
+                "--reps", str(args.reps),
+                "--prng", args.prng,
+            ]
+            if args.all_paths:
+                sub.append("--all-paths")
+            if args.cpu:
+                sub.append("--cpu")
+            out = subprocess.run(
+                sub, capture_output=True, text=True, timeout=3500
+            )
+            for ln in out.stdout.splitlines():
+                if ln.startswith("{"):
+                    print(ln)
+                    sys.stdout.flush()
+                    lines.append(json.loads(ln))
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-2000:] + "\n")
+        return lines
 
     on_tpu = jax.default_backend() not in ("cpu",)
     lines = []

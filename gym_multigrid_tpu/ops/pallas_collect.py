@@ -690,9 +690,19 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
     # _step_math steps (pinned in tests/test_pallas.py).
     p = pack_planes(go, gc, gs)
     for k in range(K):
-        base = k * (A + 3)
-        acts = packed[:, base : base + A].astype(jnp.int32)
-        rnd = packed[:, base + A : base + A + 3]
+        if packed.ndim <= 1:
+            # In-loop RNG: `packed` is a PRNG key; per-step draws fuse
+            # into their consumers instead of round-tripping a pre-drawn
+            # (B, K*(A+3)) buffer through HBM (distribution-identical,
+            # different stream layout — SURVEY.md §2.3 parity bar).
+            kk = jax.random.fold_in(packed, k)
+            k_a, k_r = jax.random.split(kk)
+            acts = jax.random.randint(k_a, (B, A), 0, 4)
+            rnd = jax.random.uniform(k_r, (B, 3))
+        else:
+            base = k * (A + 3)
+            acts = packed[:, base : base + A].astype(jnp.int32)
+            rnd = packed[:, base + A : base + A + 3]
         p, pos, picked = _step_math_packed(t, p, pos, acts, rnd, rects, tril)
         got = picked >= 0  # (B, A)
         ps = jnp.clip(picked, 0, rwd_tab.shape[0] - 1)
@@ -706,7 +716,8 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
 
 
 def make_collect_episode_rollout(
-    cfg, chunk: int | None = None, interpret=None, use_kernel: bool = True
+    cfg, chunk: int | None = None, interpret=None, use_kernel: bool = True,
+    rnd_mode: str = "packed",
 ):
     """Whole-episode rollout driver for truncation-only Collect configs.
 
@@ -753,6 +764,8 @@ def make_collect_episode_rollout(
     _ms_rwd = jnp.asarray(slot_rewards_np, dtype=jnp.float32)
     _ms_slot = jnp.asarray(slot_info_np, dtype=jnp.int32)
 
+    draw_packed = use_kernel or rnd_mode == "packed"
+
     def _one_episode(states, key):
         """max_steps env steps (chunked kernel launches) + lockstep reset."""
         B = states.grid_obj.shape[0]
@@ -760,12 +773,16 @@ def make_collect_episode_rollout(
         done = 0
         while done < cfg.max_steps:
             K = min(chunk, cfg.max_steps - done)
-            key, k_a, k_r = jax.random.split(key, 3)
-            acts = jax.random.randint(k_a, (B, K, A), 0, 4).astype(jnp.float32)
-            rnd = jax.random.uniform(k_r, (B, K, 3))
-            packed = jnp.concatenate([acts, rnd], axis=2).reshape(
-                B, K * (A + 3)
-            )
+            key, k_launch = jax.random.split(key)
+            if draw_packed:
+                k_a, k_r = jax.random.split(k_launch)
+                acts = jax.random.randint(k_a, (B, K, A), 0, 4).astype(
+                    jnp.float32
+                )
+                rnd = jax.random.uniform(k_r, (B, K, 3))
+                packed = jnp.concatenate([acts, rnd], axis=2).reshape(
+                    B, K * (A + 3)
+                )
             if use_kernel:
                 go, gc, gs, pos, rew, cnt = collect_multistep_slab(
                     t,
@@ -780,6 +797,8 @@ def make_collect_episode_rollout(
                     interpret,
                 )
             else:
+                # In-loop RNG (see _collect_ms_math) unless
+                # rnd_mode="packed".
                 go, gc, gs, pos, rew, cnt = _collect_ms_math(
                     t,
                     K,
@@ -787,7 +806,7 @@ def make_collect_episode_rollout(
                     states.grid_color,
                     states.grid_slot,
                     states.agent_pos.reshape(B, -1),
-                    packed,
+                    packed if draw_packed else k_launch,
                     _ms_rects,
                     _ms_tril,
                     _ms_rwd,

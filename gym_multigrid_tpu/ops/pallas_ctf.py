@@ -698,10 +698,23 @@ def _ctf_ms_math(t: CtfKTables, K, pos, dirs, term, coll, sc, run_ret,
     ep_sum = jnp.zeros((B, 1), jnp.float32)
     eps = jnp.zeros((B, 1), jnp.int32)
     for k in range(K):
-        base = k * stride
-        ba = packed[:, base : base + t.n_blue].astype(jnp.int32)
-        rnd_step = packed[:, base + t.n_blue : base + t.n_blue + Rs]
-        rnd_reset = packed[:, base + t.n_blue + Rs : base + stride]
+        if packed.ndim <= 1:
+            # In-loop RNG: `packed` is a PRNG key (see pallas_wildfire
+            # _ms_math) — per-step draws fuse into consumers instead of
+            # round-tripping the pre-drawn buffer through HBM.
+            # Distribution-identical (SURVEY.md §2.3 parity bar).
+            kk = jax.random.fold_in(packed, k)
+            k_a, k_s, k_rr = jax.random.split(kk, 3)
+            ba = jax.random.randint(k_a, (B, t.n_blue), 0, NUM_ACTIONS)
+            rnd_step = jax.random.uniform(k_s, (B, Rs))
+            rnd_reset = jax.random.uniform(
+                k_rr, (B, t.n_blue + t.n_red)
+            )
+        else:
+            base = k * stride
+            ba = packed[:, base : base + t.n_blue].astype(jnp.int32)
+            rnd_step = packed[:, base + t.n_blue : base + t.n_blue + Rs]
+            rnd_reset = packed[:, base + t.n_blue + Rs : base + stride]
 
         (pos2, dirs2, term2, coll2, reward, ep_term, *_rest) = _ctf_step_math(
             t, pos, dirs, term, coll, ba, rnd_step, cells, border, pool
@@ -798,7 +811,8 @@ def ctf_reset_inputs(cfg):
 
 
 def make_ctf_episode_rollout(
-    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True
+    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True,
+    rnd_mode: str = "packed",
 ):
     """rollout(states, key, num_steps) -> (states', metrics) on the fused
     multi-step math with in-graph per-env auto-reset and uniform-random
@@ -825,14 +839,19 @@ def make_ctf_episode_rollout(
     A = cfg.num_agents
     stride = ms_stride(t)
 
+    draw_packed = use_kernel or rnd_mode == "packed"
+
     def _launch(states, run_ret, key, K):
         B = states.pos.shape[0]
-        k_a, k_r = jax.random.split(key)
-        acts = jax.random.randint(
-            k_a, (B, K, t.n_blue), 0, NUM_ACTIONS
-        ).astype(jnp.float32)
-        rnd = jax.random.uniform(k_r, (B, K, stride - t.n_blue))
-        packed = jnp.concatenate([acts, rnd], axis=2).reshape(B, K * stride)
+        if draw_packed:
+            k_a, k_r = jax.random.split(key)
+            acts = jax.random.randint(
+                k_a, (B, K, t.n_blue), 0, NUM_ACTIONS
+            ).astype(jnp.float32)
+            rnd = jax.random.uniform(k_r, (B, K, stride - t.n_blue))
+            packed = jnp.concatenate(
+                [acts, rnd], axis=2
+            ).reshape(B, K * stride)
         args = (
             states.pos.reshape(B, 2 * A),
             states.dir,
@@ -849,9 +868,11 @@ def make_ctf_episode_rollout(
                 )
             )
         else:
+            # In-loop RNG (see _ctf_ms_math) unless rnd_mode="packed".
             pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
                 _ctf_ms_math(
-                    t, K, *args, packed, cells, border, pool,
+                    t, K, *args, packed if draw_packed else key,
+                    cells, border, pool,
                     terr_pack[0], terr_pack[1],
                 )
             )

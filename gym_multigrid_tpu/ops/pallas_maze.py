@@ -87,9 +87,20 @@ def _maze_ms_math(t: MazeTables, K, pos, dirs, sc, run_ret, packed, cells, bg):
     ep_sum = jnp.zeros((B, 1), jnp.float32)
     eps = jnp.zeros((B, 1), jnp.int32)
     for k in range(K):
-        base = k * MS_STRIDE
-        acts = packed[:, base : base + 1].astype(jnp.int32)
-        rnd_reset = packed[:, base + 1 : base + 2]
+        if packed.ndim <= 1:
+            # In-loop RNG: `packed` is a PRNG key (see pallas_wildfire
+            # _ms_math) — per-step draws fuse into consumers, no pre-drawn
+            # buffer in HBM.  Distribution-identical.
+            from gym_multigrid_tpu.envs.maze import NUM_ACTIONS
+
+            kk = jax.random.fold_in(packed, k)
+            k_a, k_r = jax.random.split(kk)
+            acts = jax.random.randint(k_a, (B, 1), 0, NUM_ACTIONS)
+            rnd_reset = jax.random.uniform(k_r, (B, 1))
+        else:
+            base = k * MS_STRIDE
+            acts = packed[:, base : base + 1].astype(jnp.int32)
+            rnd_reset = packed[:, base + 1 : base + 2]
 
         pos2, dirs2, reward, term = maze_step_math(t, pos, dirs, acts, cells)
         sc2 = sc + 1
@@ -155,7 +166,8 @@ def maze_multistep_slab(t: MazeTables, pos, dirs, sc, run_ret, K, interpret,
 
 
 def make_maze_episode_rollout(
-    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True
+    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True,
+    rnd_mode: str = "packed",
 ):
     """rollout(states, key, num_steps) on the fused multi-step math with
     in-graph auto-reset and uniform-random actions; metrics match
@@ -172,16 +184,19 @@ def make_maze_episode_rollout(
         interpret = jax.default_backend() == "cpu"
     cells, bg = maze_static_inputs(cfg)
 
+    draw_packed = use_kernel or rnd_mode == "packed"
+
     def _launch(states, run_ret, key, K):
         B = states.pos.shape[0]
-        k_a, k_r = jax.random.split(key)
-        acts = jax.random.randint(k_a, (B, K, 1), 0, NUM_ACTIONS).astype(
-            jnp.float32
-        )
-        rnd = jax.random.uniform(k_r, (B, K, 1))
-        packed = jnp.concatenate([acts, rnd], axis=2).reshape(
-            B, K * MS_STRIDE
-        )
+        if draw_packed:
+            k_a, k_r = jax.random.split(key)
+            acts = jax.random.randint(k_a, (B, K, 1), 0, NUM_ACTIONS).astype(
+                jnp.float32
+            )
+            rnd = jax.random.uniform(k_r, (B, K, 1))
+            packed = jnp.concatenate([acts, rnd], axis=2).reshape(
+                B, K * MS_STRIDE
+            )
         if use_kernel:
             pos, dirs, sc, run_ret, rew, ep_sum, eps = maze_multistep_slab(
                 t,
@@ -196,6 +211,7 @@ def make_maze_episode_rollout(
                 bg,
             )
         else:
+            # In-loop RNG (see _maze_ms_math) unless rnd_mode="packed".
             pos, dirs, sc, run_ret, rew, ep_sum, eps = _maze_ms_math(
                 t,
                 K,
@@ -203,7 +219,7 @@ def make_maze_episode_rollout(
                 states.dir.reshape(B, 1),
                 states.step_count.reshape(B, 1),
                 run_ret,
-                packed,
+                packed if draw_packed else key,
                 cells,
                 bg,
             )

@@ -118,14 +118,28 @@ def _ms_math(t: WfTables, K, cells, pos, sc, ext, run_ret, packed, adj, tril):
     eps = jnp.zeros((B, 1), jnp.int32)
     for k in range(K):
         if isinstance(packed, tuple):
-            # XLA path: the (acts, rnd) draws unconcatenated — identical
-            # values to the packed layout, but the big (B, K*stride)
-            # concat (~0.5 MB/env at 16x16) never materializes and each
-            # step's slice is contiguous.
+            # XLA path, pre-drawn: the (acts, rnd) draws unconcatenated —
+            # identical values to the packed layout, but the big
+            # (B, K*stride) concat (~0.5 MB/env at 16x16) never
+            # materializes and each step's slice is contiguous.
             acts_f, rnd_f = packed
             acts = acts_f[:, k].astype(jnp.int32)
             rnd_step = rnd_f[:, k, :Rs]
             rnd_reset = rnd_f[:, k, Rs : Rs + Rr]
+        elif packed.ndim <= 1:
+            # XLA path, in-loop RNG: `packed` is a PRNG key (typed key
+            # ndim 0 or raw uint32 pair ndim 1); each
+            # unrolled step draws its own uniforms.  The threefry bits are
+            # elementwise producers that XLA fuses straight into their
+            # compares (u < p), so the ~2 KB/env/step uniform stream — the
+            # dominant HBM traffic of the pre-drawn form — never touches
+            # HBM.  Distribution-identical to pre-drawing (different
+            # stream layout; SURVEY.md §2.3 parity bar).
+            kk = jax.random.fold_in(packed, k)
+            k_a, k_s, k_rr = jax.random.split(kk, 3)
+            acts = jax.random.randint(k_a, (B, A), 0, 5)
+            rnd_step = jax.random.uniform(k_s, (B, Rs))
+            rnd_reset = jax.random.uniform(k_rr, (B, Rr))
         else:
             base = k * stride
             acts = packed[:, base : base + A].astype(jnp.int32)
@@ -206,7 +220,8 @@ def wildfire_multistep_slab(
 
 
 def make_wildfire_episode_rollout(
-    cfg, chunk: int = 8, interpret=None, use_kernel: bool = True
+    cfg, chunk: int = 8, interpret=None, use_kernel: bool = True,
+    rnd_mode: str = "inloop",
 ):
     """rollout(states, key, num_steps) -> (states', metrics) on the fused
     multi-step math, matching BatchedEnv.rollout with uniform-random
@@ -235,38 +250,43 @@ def make_wildfire_episode_rollout(
     adj_x = None
     tril_x = None
 
+    draw_packed = use_kernel or rnd_mode == "packed"
+
     def _launch(states, run_ret, key, K):
         B = states.cells.shape[0]
-        k_a, k_r = jax.random.split(key)
-        acts = jax.random.randint(k_a, (B, K, A), 0, 5).astype(jnp.float32)
-        rnd = jax.random.uniform(k_r, (B, K, stride - A))
-        if use_kernel:
+        if draw_packed:
+            # Pre-drawn bulk randomness: the kernel's contract, and the
+            # rnd_mode="packed" XLA form the bit-equality tests pin
+            # against it.
+            k_a, k_r = jax.random.split(key)
+            acts = jax.random.randint(k_a, (B, K, A), 0, 5).astype(
+                jnp.float32
+            )
+            rnd = jax.random.uniform(k_r, (B, K, stride - A))
             packed = jnp.concatenate([acts, rnd], axis=2).reshape(
                 B, K * stride
             )
+        args = (
+            states.cells.reshape(B, C),
+            states.agent_pos.reshape(B, 2 * A),
+            states.step_count.reshape(B, 1),
+            states.extinguished.reshape(B, 1),
+            run_ret,
+        )
+        if use_kernel:
             cells, pos, sc, ext, run_ret, rew, ep_sum, eps = (
-                wildfire_multistep_slab(
-                    t,
-                    states.cells.reshape(B, C),
-                    states.agent_pos.reshape(B, 2 * A),
-                    states.step_count.reshape(B, 1),
-                    states.extinguished.reshape(B, 1),
-                    run_ret,
-                    K,
-                    interpret,
-                    packed,
-                )
+                wildfire_multistep_slab(t, *args, K, interpret, packed)
             )
         else:
+            # In-loop RNG (see _ms_math) unless rnd_mode="packed": the
+            # uniform stream stays fused out of HBM.
             cells, pos, sc, ext, run_ret, rew, ep_sum, eps = _ms_math(
-                t,
-                K,
-                states.cells.reshape(B, C),
-                states.agent_pos.reshape(B, 2 * A),
-                states.step_count.reshape(B, 1),
-                states.extinguished.reshape(B, 1),
-                run_ret,
-                (acts, rnd),
+                t, K, *args,
+                (
+                    (acts, rnd.reshape(B, K, stride - A))
+                    if draw_packed
+                    else key
+                ),
                 adj_x,
                 tril_x,
             )

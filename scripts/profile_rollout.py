@@ -69,6 +69,12 @@ def designed_bytes_per_env_step(family: str, cfg, path: str, chunk: int) -> int:
         raise ValueError(family)
 
     if path in ("xla-ms", "pallas-ms"):
+        from bench_all import MS_MODE
+
+        if path == "xla-ms" and MS_MODE.get(family) == "inloop":
+            # In-loop RNG: the uniform stream fuses into its consumers and
+            # never touches HBM (artifacts/inloop_rng.md).
+            rand = 0
         # State crosses HBM once per CHUNK (kernel: VMEM-resident; XLA:
         # at worst rematerialized per step — the model stays the designed
         # minimum); uniforms are written once + read once per step.

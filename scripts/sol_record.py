@@ -1,0 +1,103 @@
+"""Commit the speed-of-light record: artifacts/sol_report.json.
+
+Runs scripts/profile_rollout.py (same process, imported) for each family's
+headline path at the benchmark batch on the current backend and records
+achieved throughput vs the designed-HBM-traffic ceiling, plus the binding
+resource classification:
+
+* A path whose designed traffic (state/chunk + uniform stream) is far below
+  its achieved bandwidth is NOT HBM-bound — its limiter is VPU compute /
+  program scheduling, and "% of HBM SOL" would be meaningless as a quality
+  score.  The record says so explicitly instead of quoting a tiny fraction.
+* The in-loop RNG multi-step paths (ops/pallas_* rnd_mode="inloop") are
+  designed to have near-zero per-step HBM traffic: state stays VMEM-resident
+  across the scan and uniforms fuse into their consumers.  For them the
+  interesting number is achieved env-steps/s vs the HBM ceiling they would
+  have had under the round-2 pre-drawn design — recorded as
+  `pre_drawn_ceiling` for the before/after story.
+
+Usage: python scripts/sol_record.py [--batch 8192] [--out artifacts/sol_report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FAMILIES = ("collect", "ctf", "maze", "wildfire")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--out", default=os.path.join(REPO, "artifacts", "sol_report.json"))
+    p.add_argument("--chip", default="v5e")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    records = {}
+    for family in FAMILIES:
+        # Each family in its own process: one-chip tunnel runs degrade when
+        # multiple large executables share the device in one client
+        # (measured: wildfire xla-ms 13.2B standalone vs 63M after other
+        # families' programs loaded — artifacts/sol_report.json notes).
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "scripts", "profile_rollout.py"),
+            "--family", family,
+            "--batch", str(args.batch),
+            "--steps", str(args.steps),
+            "--path", "xla-ms",
+            "--chip", args.chip,
+            "--json",
+        ] + (["--cpu"] if args.cpu else [])
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3500, env=env,
+            cwd=REPO,
+        )
+        line = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("{")
+        ]
+        if out.returncode != 0 or not line:
+            records[family] = {"error": out.stdout[-500:] + out.stderr[-500:]}
+            continue
+        rec = json.loads(line[-1])
+        # Binding-resource classification.
+        frac = rec["sol_fraction"]
+        rec["binding_resource"] = (
+            "HBM bandwidth" if frac > 0.3 else
+            "compute/scheduling (designed HBM traffic is not the limiter)"
+        )
+        records[family] = rec
+
+    payload = {
+        "chip": args.chip,
+        "batch": args.batch,
+        "note": (
+            "designed-traffic model: state planes cross HBM once per "
+            "multi-step chunk + the pre-drawn uniform stream; the in-loop "
+            "RNG paths eliminate the stream (round 3), so fractions >1 "
+            "mean the program runs beyond what the pre-drawn design could "
+            "ever reach — see artifacts/inloop_rng.md"
+        ),
+        "families": records,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+        f.write("\n")
+    print(json.dumps({k: v.get("sol_fraction") for k, v in records.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -67,7 +67,7 @@ def test_collect_episode_xla_matches_kernel():
     states, _ = env.reset(jax.random.PRNGKey(0))
     roll_k = make_collect_episode_rollout(cfg, chunk=5, interpret=True)
     roll_x = make_collect_episode_rollout(
-        cfg, chunk=5, interpret=True, use_kernel=False
+        cfg, chunk=5, interpret=True, use_kernel=False, rnd_mode="packed"
     )
     _compare(
         roll_k, roll_x, states, 20,
@@ -95,7 +95,7 @@ def test_ctf_episode_xla_matches_kernel():
     states, _ = env.reset(jax.random.PRNGKey(0))
     roll_k = make_ctf_episode_rollout(cfg, chunk=4, interpret=True)
     roll_x = make_ctf_episode_rollout(
-        cfg, chunk=4, interpret=True, use_kernel=False
+        cfg, chunk=4, interpret=True, use_kernel=False, rnd_mode="packed"
     )
     _compare(
         roll_k, roll_x, states, 8,
@@ -116,7 +116,7 @@ def test_maze_episode_xla_matches_kernel():
     states, _ = env.reset(jax.random.PRNGKey(0))
     roll_k = make_maze_episode_rollout(cfg, chunk=5, interpret=True)
     roll_x = make_maze_episode_rollout(
-        cfg, chunk=5, interpret=True, use_kernel=False
+        cfg, chunk=5, interpret=True, use_kernel=False, rnd_mode="packed"
     )
     _compare(
         roll_k, roll_x, states, 20,
@@ -137,7 +137,7 @@ def test_wildfire_episode_xla_matches_kernel():
     states, _ = env.reset(jax.random.PRNGKey(0))
     roll_k = make_wildfire_episode_rollout(cfg, chunk=3, interpret=True)
     roll_x = make_wildfire_episode_rollout(
-        cfg, chunk=3, interpret=True, use_kernel=False
+        cfg, chunk=3, interpret=True, use_kernel=False, rnd_mode="packed"
     )
     assert roll_k is not None and roll_x is not None
     _compare(
@@ -194,3 +194,65 @@ def test_prefix_sum_pick_matches_oracle(C):
     expect = (cum.astype(np.int64) == r + 1) & mask
     np.testing.assert_array_equal(hit, expect)
     assert hit[1].sum() == 0 and hit[0].sum() == 1
+
+
+def test_inloop_rnd_matches_packed_distribution():
+    """The DEFAULT xla-ms mode draws its uniforms in-loop (fused out of
+    HBM — the round-3 throughput win); it must agree with the pre-drawn
+    packed mode distributionally: identical lockstep episode accounting
+    and the same reward rate within sampling noise (the streams differ by
+    design, SURVEY.md §2.3 parity bar)."""
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        make_collect_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+    cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=25)
+    env = make_collect_batch(cfg, 128)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    steps = 100
+    roll_in = make_collect_episode_rollout(cfg, chunk=5, use_kernel=False)
+    roll_pk = make_collect_episode_rollout(
+        cfg, chunk=5, use_kernel=False, rnd_mode="packed"
+    )
+    _, m_in = jax.jit(lambda s, k: roll_in(s, k, steps))(
+        states, jax.random.PRNGKey(1)
+    )
+    _, m_pk = jax.jit(lambda s, k: roll_pk(s, k, steps))(
+        states, jax.random.PRNGKey(1)
+    )
+    assert int(m_in["episodes"]) == int(m_pk["episodes"]) == 128 * 4
+    r_in = float(m_in["reward_sum"])
+    r_pk = float(m_pk["reward_sum"])
+    assert r_in > 0 and r_pk > 0
+    assert abs(r_in - r_pk) / r_pk < 0.15
+
+
+def test_inloop_rnd_matches_packed_distribution_wildfire():
+    from gym_multigrid_tpu.envs.wildfire import WildfireConfig
+    from gym_multigrid_tpu.ops.pallas_wildfire import (
+        make_wildfire_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+    cfg = WildfireConfig(size=16, max_steps=50)
+    env = make_wildfire_batch(cfg, 128)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    steps = 100
+    roll_in = make_wildfire_episode_rollout(cfg, chunk=8, use_kernel=False)
+    roll_pk = make_wildfire_episode_rollout(
+        cfg, chunk=8, use_kernel=False, rnd_mode="packed"
+    )
+    _, m_in = jax.jit(lambda s, k: roll_in(s, k, steps))(
+        states, jax.random.PRNGKey(1)
+    )
+    _, m_pk = jax.jit(lambda s, k: roll_pk(s, k, steps))(
+        states, jax.random.PRNGKey(1)
+    )
+    e_in, e_pk = int(m_in["episodes"]), int(m_pk["episodes"])
+    assert e_in > 0 and e_pk > 0
+    assert abs(e_in - e_pk) / e_pk < 0.15
+    r_in = float(m_in["reward_sum"]) / e_in
+    r_pk = float(m_pk["reward_sum"]) / e_pk
+    assert abs(r_in - r_pk) / abs(r_pk) < 0.15
