@@ -48,18 +48,21 @@ def main():
 
     if on_tpu:
         # Fastest measured path (bench_all.py --all-paths, v5e @ 8192):
-        # the whole-episode multi-step math as plain XLA — 50 env steps
+        # the whole-episode multi-step math as plain XLA — 25 env steps
         # per launch with bulk pre-drawn randomness, episode reset fused
-        # in (190.3M agent-steps/s vs 87.7M for the fused Pallas episode
-        # kernel and 86.6M for the per-step slab rollout under identical
-        # settings); round-3 per-process sweeps moved the chunk to 25
-        # (158.8M env-steps/s vs 156.9M at 50, fresh-process numbers).
+        # in; beats the fused Pallas episode kernel and the per-step slab
+        # (README table).  Round-3 fresh-process sweeps picked chunk 25
+        # and prefix_mode="matmul" (respawn-pick prefix sums as one f32
+        # MXU matmul instead of log-doubling adds: 3.3x less HBM traffic
+        # per XLA's cost model, 245.8M -> 275.7M agent-steps/s measured,
+        # bit-identical outputs — tests/test_xla_ms.py).
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )
 
         rollout = make_collect_episode_rollout(
-            cfg, chunk=25, use_kernel=False, rnd_mode="packed"
+            cfg, chunk=25, use_kernel=False, rnd_mode="packed",
+            prefix_mode="matmul",
         )
         run = jax.jit(lambda s, k: rollout(s, k, STEPS_PER_CALL))
     else:

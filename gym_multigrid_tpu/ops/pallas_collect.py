@@ -80,9 +80,12 @@ def _prefix_counts(mask, tril):
     if tril is None:
         cum = _prefix_sum_lanes(mask.astype(jnp.int32))
     else:
+        # bf16 tril: counts <= C <= 256 are exact integers in bf16 (8
+        # mantissa bits) with f32 MXU accumulation, and the materialized
+        # (B, C) cum plane is half the HBM bytes of the f32 form.
         cum = jnp.dot(
-            mask.astype(jnp.float32), tril,
-            preferred_element_type=jnp.float32,
+            mask.astype(tril.dtype), tril,
+            preferred_element_type=tril.dtype,
         ).astype(jnp.int32)
     return cum, jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
 
@@ -717,7 +720,7 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
 
 def make_collect_episode_rollout(
     cfg, chunk: int | None = None, interpret=None, use_kernel: bool = True,
-    rnd_mode: str = "packed",
+    rnd_mode: str = "packed", prefix_mode: str = "adds",
 ):
     """Whole-episode rollout driver for truncation-only Collect configs.
 
@@ -758,9 +761,23 @@ def make_collect_episode_rollout(
     # Static arrays for the XLA (use_kernel=False) path.
     C = cfg.num_cells
     _ms_rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
-    # None = matmul-free integer prefix sums on the XLA path (the kernels
-    # keep the tril form; outputs are bit-identical).
-    _ms_tril = None
+    # prefix_mode picks the XLA path's prefix-sum form for the respawn
+    # picks (bit-identical outputs either way — 0/1 counts <= C are exact
+    # in f32): "adds" = log2(C) shifted integer adds (no MXU work, but
+    # each stage is a (B, C) intermediate XLA may materialize); "matmul" =
+    # one (B,C)x(C,C) MXU matmul per pick (one intermediate, FLOPs ride
+    # the otherwise-idle MXU).  The kernels always keep the tril form.
+    if prefix_mode in ("matmul", "matmul_bf16"):
+        assert C <= 256, "bf16/f32 prefix counts need exact ints <= 256"
+        _ms_tril = jnp.asarray(
+            np.tril(np.ones((C, C), dtype=np.float32)).T,
+            dtype=(
+                jnp.bfloat16 if prefix_mode == "matmul_bf16"
+                else jnp.float32
+            ),
+        )
+    else:
+        _ms_tril = None
     _ms_rwd = jnp.asarray(slot_rewards_np, dtype=jnp.float32)
     _ms_slot = jnp.asarray(slot_info_np, dtype=jnp.int32)
 

@@ -128,6 +128,20 @@ def main(argv=None) -> int:
     chunk = MS_CHUNKS.get(args.path, {}).get(args.family, 1)
 
     states = init(jax.random.PRNGKey(0))
+    # XLA's own cost model for the compiled rollout: total flops and HBM
+    # bytes it expects to move per launch — the mechanical check behind the
+    # binding-resource classification (designed-traffic says what the math
+    # REQUIRES; cost_analysis says what the compiled program actually
+    # schedules, intermediates included).
+    compiled = jax.jit(run).lower(states, jax.random.PRNGKey(1)).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else (ca or {})
+    launch_env_steps = args.batch * steps
+    xla_flops_per_env_step = float(ca.get("flops", 0.0)) / launch_env_steps
+    xla_bytes_per_env_step = (
+        float(ca.get("bytes accessed", 0.0)) / launch_env_steps
+    )
+
     states, m = run(states, jax.random.PRNGKey(1))  # compile + warm
     jax.block_until_ready(m["reward_sum"])
 
@@ -162,6 +176,18 @@ def main(argv=None) -> int:
         "designed_bytes_per_env_step": bytes_per_env_step,
         "hbm_ceiling_env_steps_per_s": round(ceiling_env_steps, 1),
         "sol_fraction": round(frac, 4),
+        # XLA cost-model view of the same program (intermediates included).
+        "xla_flops_per_env_step": round(xla_flops_per_env_step, 1),
+        "xla_bytes_per_env_step": round(xla_bytes_per_env_step, 1),
+        "achieved_hbm_gb_per_s": round(
+            env_steps_per_s * xla_bytes_per_env_step / 1e9, 1
+        ),
+        "achieved_gflops_per_s": round(
+            env_steps_per_s * xla_flops_per_env_step / 1e9, 1
+        ),
+        "xla_traffic_sol_fraction": round(
+            env_steps_per_s * xla_bytes_per_env_step / bw, 4
+        ),
         "chip": args.chip,
     }
     if args.json:

@@ -71,11 +71,18 @@ def main(argv=None) -> int:
             records[family] = {"error": out.stdout[-500:] + out.stderr[-500:]}
             continue
         rec = json.loads(line[-1])
-        # Binding-resource classification.
-        frac = rec["sol_fraction"]
+        # Binding-resource classification: a path is HBM-bound if either the
+        # designed-minimum traffic or XLA's own cost-model traffic (which
+        # counts materialized intermediates) puts it near the bandwidth
+        # roofline; otherwise the limiter is VPU compute / scheduling, and
+        # the cost-model flops+bytes numbers quantify how far from EITHER
+        # roofline it runs.
+        frac = max(rec["sol_fraction"], rec.get("xla_traffic_sol_fraction", 0))
         rec["binding_resource"] = (
             "HBM bandwidth" if frac > 0.3 else
-            "compute/scheduling (designed HBM traffic is not the limiter)"
+            "compute/scheduling (HBM traffic is not the limiter: "
+            f"XLA cost model moves {rec.get('achieved_hbm_gb_per_s', '?')} "
+            "GB/s of an 819 GB/s chip)"
         )
         records[family] = rec
 

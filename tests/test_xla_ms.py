@@ -77,6 +77,44 @@ def test_collect_episode_xla_matches_kernel():
     )
 
 
+def test_collect_prefix_modes_bit_identical():
+    """The XLA path's three prefix-sum forms for the respawn picks —
+    log-doubling integer adds, one f32 MXU tril matmul, and the bf16
+    variant — are bit-identical end to end (0/1 counts <= C are exact in
+    every form), so the TPU benchmark's prefix_mode="matmul" promotion
+    (3.3x less HBM traffic per XLA's cost model, +12% measured) changes
+    nothing observable."""
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        make_collect_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+    cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=10)
+    env = make_collect_batch(cfg, 32)
+    states, _ = env.reset(jax.random.PRNGKey(7))
+    key = jax.random.PRNGKey(11)
+    results = {}
+    for mode in ("adds", "matmul", "matmul_bf16"):
+        roll = make_collect_episode_rollout(
+            cfg, chunk=5, use_kernel=False, rnd_mode="packed",
+            prefix_mode=mode,
+        )
+        results[mode] = roll(states, key, 30)
+    ref_s, ref_m = results["adds"]
+    for mode in ("matmul", "matmul_bf16"):
+        s, m = results[mode]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_s), jax.tree_util.tree_leaves(s)
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=mode
+            )
+        np.testing.assert_array_equal(
+            float(ref_m["reward_sum"]), float(m["reward_sum"]), err_msg=mode
+        )
+
+
 def test_ctf_episode_xla_matches_kernel():
     from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
     from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
