@@ -77,18 +77,29 @@ def main():
     states = init(key)
     # Warm up / compile.
     states, metrics = run(states, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics["reward_sum"])
+    float(jax.device_get(metrics["reward_sum"]))
 
-    # Best of 3 timed windows: dispatch rides a remote tunnel whose latency
-    # spikes add ±2-4% run-to-run noise; the fastest window is the cleanest
-    # estimate of sustained device throughput.
-    reps, windows = 8, 3
+    # Best of 3 honest timed windows.  Synchronization is a device_get of
+    # the LAST rep's metric: the states->run chain makes it depend on every
+    # rep, so materializing it on the host proves the work ran.
+    # jax.block_until_ready is NOT trustworthy on the remote-tunnel
+    # backend — it returns before the computation finishes (see
+    # artifacts/measurement.md), which inflated rounds 1-2 numbers ~2.5x
+    # here.  Windows auto-size to >=1 s so the one round-trip per window
+    # stays under ~4% of the measurement.
+    calib = 2
+    t0 = time.perf_counter()
+    for r in range(calib):
+        states, metrics = run(states, jax.random.PRNGKey(100 + r))
+    float(jax.device_get(metrics["reward_sum"]))
+    per_rep = max((time.perf_counter() - t0) / calib, 1e-4)
+    reps, windows = max(4, int(1.0 / per_rep) + 1), 3
     best_dt = float("inf")
     for w in range(windows):
         t0 = time.perf_counter()
         for r in range(reps):
             states, metrics = run(states, jax.random.PRNGKey(2 + w * reps + r))
-        jax.block_until_ready(metrics["reward_sum"])
+        float(jax.device_get(metrics["reward_sum"]))
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     env_steps = BATCH * STEPS_PER_CALL * reps

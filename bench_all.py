@@ -186,6 +186,44 @@ def align_steps(family: str, steps: int) -> int:
     return max(ms, (steps // ms) * ms)
 
 
+#: Minimum timed-window length.  Each window costs ONE host round-trip
+#: (the chained device_get below), ~20-40 ms on the remote tunnel; a >=1 s
+#: window keeps that overhead under ~4%.
+MIN_WINDOW_S = 1.0
+
+
+def _timed_windows(run, states, key, work_per_rep, windows=3):
+    """Best-of-N honest timed windows.
+
+    Synchronization is a ``device_get`` of the LAST rep's scalar metric:
+    each rep's input states depend on the previous rep's output, so
+    materializing the final metric on the host forces every rep to have
+    actually executed.  ``jax.block_until_ready`` is NOT trustworthy on
+    the remote-tunnel backend — it returns long before the computation
+    finishes (measured: wildfire xla-ms "6.3B env-steps/s" under
+    block_until_ready vs 35M with a real value dependency, a 180x lie;
+    collect/ctf/maze were inflated 2.5-3.6x at short windows.  See
+    artifacts/measurement.md).  Window length adapts so the one
+    round-trip per window stays in the noise.
+    """
+    # Calibrate per-rep cost with a short chained window.
+    calib = 2
+    t0 = time.perf_counter()
+    for r in range(calib):
+        states, metrics = run(states, key(1000 + r))
+    float(jax.device_get(metrics["reward_sum"]))
+    per_rep = max((time.perf_counter() - t0) / calib, 1e-4)
+    reps = max(4, int(MIN_WINDOW_S / per_rep) + 1)
+    best_dt = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for r in range(reps):
+            states, metrics = run(states, key(2 + w * reps + r))
+        float(jax.device_get(metrics["reward_sum"]))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return work_per_rep * reps / best_dt
+
+
 def measure(family: str, batch: int, steps: int, reps: int, path: str,
             prng: str = "threefry2x32"):
     made = _make_runner(family, batch, steps, path)
@@ -199,17 +237,8 @@ def measure(family: str, batch: int, steps: int, reps: int, path: str,
     key = lambda i: jax.random.key(i, impl=prng)  # noqa: E731
     states = init(key(0))
     states, metrics = run(states, key(1))  # compile + warm
-    jax.block_until_ready(metrics["reward_sum"])
-    # Best of 3 timed windows: the TPU tunnel's dispatch-latency spikes add
-    # ±2-4% noise; the fastest window estimates sustained device throughput.
-    best_dt = float("inf")
-    for w in range(3):
-        t0 = time.perf_counter()
-        for r in range(reps):
-            states, metrics = run(states, key(2 + w * reps + r))
-        jax.block_until_ready(metrics["reward_sum"])
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return batch * steps * reps * agents / best_dt
+    float(jax.device_get(metrics["reward_sum"]))
+    return _timed_windows(run, states, key, batch * steps * agents)
 
 
 def main(argv=None):

@@ -153,13 +153,15 @@ def measure_point(
         params, opt_state, states, key, m = step_fn(
             params, opt_state, states, key
         )  # compile + warm
-        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
         for _ in range(reps):
             params, opt_state, states, key, m = step_fn(
                 params, opt_state, states, key
             )
-        jax.block_until_ready(m["loss"])
+        # Honest sync: materialize the chained loss (block_until_ready
+        # returns early on remote backends — artifacts/measurement.md).
+        float(jax.device_get(m["loss"]))
         dt = time.perf_counter() - t0
         agent_steps = num_envs * steps * reps * agents
         return {
@@ -183,11 +185,11 @@ def measure_point(
     run = jax.jit(lambda s, k: rollout(s, k, steps))
 
     states, metrics = run(states, jax.random.PRNGKey(1))  # compile + warm
-    jax.block_until_ready(metrics["reward_sum"])
+    float(jax.device_get(metrics["reward_sum"]))
     t0 = time.perf_counter()
     for r in range(reps):
         states, metrics = run(states, jax.random.PRNGKey(2 + r))
-    jax.block_until_ready(metrics["reward_sum"])
+    float(jax.device_get(metrics["reward_sum"]))
     dt = time.perf_counter() - t0
 
     agent_steps = num_envs * steps * reps * agents

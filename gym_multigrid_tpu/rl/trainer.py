@@ -157,7 +157,11 @@ def train_loop(
         params, opt_state, states, key, stacked = run_chunk(
             params, opt_state, states, key, n
         )
-        jax.block_until_ready(stacked["loss"])
+        # Honest sync: materialize the chunk's final loss on the host —
+        # block_until_ready returns early on the remote-tunnel backend
+        # (artifacts/measurement.md), which would inflate the logged
+        # env_steps_per_sec.
+        float(jax.device_get(stacked["loss"][-1]))
         # Per-dispatch throughput: the first chunk's number includes its
         # compile (cold chunks are obvious in the log); later chunks show
         # sustained training speed.

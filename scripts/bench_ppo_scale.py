@@ -64,14 +64,17 @@ def main(argv=None):
     params, opt_state, states, key, metrics = step(
         params, opt_state, states, key
     )  # compile + warm
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
+    # Honest sync: the final loss depends on every chained iteration;
+    # materializing it on the host proves the work ran (block_until_ready
+    # returns early on the remote tunnel — artifacts/measurement.md).
     t0 = time.perf_counter()
     for _ in range(args.iters):
         params, opt_state, states, key, metrics = step(
             params, opt_state, states, key
         )
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
     sps = args.envs * args.rollout_len * args.iters / dt
 

@@ -143,23 +143,33 @@ def main(argv=None) -> int:
     )
 
     states, m = run(states, jax.random.PRNGKey(1))  # compile + warm
-    jax.block_until_ready(m["reward_sum"])
+    float(jax.device_get(m["reward_sum"]))
 
     if args.trace:
         with trace(args.trace):
             states, m = run(states, jax.random.PRNGKey(2))
-            jax.block_until_ready(m["reward_sum"])
+            float(jax.device_get(m["reward_sum"]))
         print(f"trace written to {args.trace} (load in TensorBoard)")
 
+    # Honest timing: device_get of the final chained metric (NOT
+    # block_until_ready, which returns early on the remote-tunnel backend
+    # — artifacts/measurement.md), windows auto-sized to >=1 s.
+    calib = 2
+    t0 = time.perf_counter()
+    for r in range(calib):
+        states, m = run(states, jax.random.PRNGKey(100 + r))
+    float(jax.device_get(m["reward_sum"]))
+    per_rep = max((time.perf_counter() - t0) / calib, 1e-4)
+    reps = max(args.reps, int(1.0 / per_rep) + 1)
     best_dt = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
-        for r in range(args.reps):
-            states, m = run(states, jax.random.PRNGKey(3 + 7 * w + r))
-        jax.block_until_ready(m["reward_sum"])
+        for r in range(reps):
+            states, m = run(states, jax.random.PRNGKey(3 + 31 * w + r))
+        float(jax.device_get(m["reward_sum"]))
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    env_steps_per_s = args.batch * steps * args.reps / best_dt
+    env_steps_per_s = args.batch * steps * reps / best_dt
     bytes_per_env_step = designed_bytes_per_env_step(
         args.family, cfg, args.path, chunk
     )

@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 import jax  # noqa: E402
 
@@ -68,26 +70,28 @@ def _family_cfg(family: str):
     raise ValueError(family)
 
 
-def _episode_rollout(family: str, cfg, chunk: int, use_kernel: bool):
+def _episode_rollout(family: str, cfg, chunk: int, use_kernel: bool,
+                     rnd_mode: str = "packed", prefix_mode: str = "adds"):
     if family == "collect":
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )
 
         return make_collect_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=rnd_mode,
+            prefix_mode=prefix_mode,
         )
     if family == "ctf":
         from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
 
         return make_ctf_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=rnd_mode
         )
     if family == "maze":
         from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
 
         return make_maze_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=rnd_mode
         )
     if family == "wildfire":
         from gym_multigrid_tpu.ops.pallas_wildfire import (
@@ -95,20 +99,27 @@ def _episode_rollout(family: str, cfg, chunk: int, use_kernel: bool):
         )
 
         return make_wildfire_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel
+            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=rnd_mode
         )
     raise ValueError(family)
 
 
 def measure_one(spec: str, batch: int, steps: int, reps: int):
-    family, path, _, chunk = (spec.split(":") + [None, None, None])[:4]
-    chunk = int(spec.split(":")[2]) if spec.count(":") >= 2 else 25
+    # spec = family:path[:chunk[:rnd_mode[:prefix_mode]]]
+    parts = spec.split(":")
+    family, path = parts[0], parts[1]
+    chunk = int(parts[2]) if len(parts) >= 3 else 25
+    rnd_mode = parts[3] if len(parts) >= 4 else "packed"
+    prefix_mode = parts[4] if len(parts) >= 5 else "adds"
     cfg, make_batch, agents = _family_cfg(family)
     env = make_batch(cfg, batch, use_pallas=(path == "pallas-step"))
     init = jax.jit(lambda k: env.reset(k)[0])
 
     if path in ("xla-ms", "pallas-ms"):
-        ro = _episode_rollout(family, cfg, chunk, path == "pallas-ms")
+        ro = _episode_rollout(
+            family, cfg, chunk, path == "pallas-ms",
+            rnd_mode=rnd_mode, prefix_mode=prefix_mode,
+        )
         if ro is None:
             print(json.dumps({"spec": spec, "error": "unsupported"}))
             return
@@ -119,9 +130,19 @@ def measure_one(spec: str, batch: int, steps: int, reps: int):
     states = init(jax.random.PRNGKey(0))
     t0 = time.perf_counter()
     states, metrics = run(states, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics["reward_sum"])
+    float(jax.device_get(metrics["reward_sum"]))
     compile_s = time.perf_counter() - t0
 
+    # Honest sync: device_get of the final chained metric (NOT
+    # block_until_ready — it returns early on the remote tunnel, see
+    # artifacts/measurement.md); windows auto-size to >=1 s.
+    calib = 2
+    t0 = time.perf_counter()
+    for r in range(calib):
+        states, metrics = run(states, jax.random.PRNGKey(100 + r))
+    float(jax.device_get(metrics["reward_sum"]))
+    per_rep = max((time.perf_counter() - t0) / calib, 1e-4)
+    reps = max(reps, int(1.0 / per_rep) + 1)
     best = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
@@ -129,7 +150,7 @@ def measure_one(spec: str, batch: int, steps: int, reps: int):
             states, metrics = run(
                 states, jax.random.PRNGKey(2 + w * reps + r)
             )
-        jax.block_until_ready(metrics["reward_sum"])
+        float(jax.device_get(metrics["reward_sum"]))
         best = min(best, time.perf_counter() - t0)
     aps = batch * steps * reps * agents / best
     print(

@@ -178,7 +178,9 @@ def main(argv=None):
             chunk_fns[n] = jax.jit(lambda sp, k, _n=n: multi(sp, k, _n))
         t0 = time.perf_counter()
         sp, key, ms = chunk_fns[n](sp, key)
-        jax.block_until_ready(ms["blue_loss"])
+        # Honest sync (see artifacts/measurement.md): materialize the
+        # chunk's final loss rather than block_until_ready.
+        float(jax.device_get(ms["blue_loss"][-1]))
         sps = steps_per_iter * n / (time.perf_counter() - t0)
         for j in range(n):
             row = {k: ms[k][j] for k in log_keys}
