@@ -46,17 +46,18 @@ BASELINES = {
 }
 
 # Fastest measured (family, path) chunk sizes and RNG modes (per-process
-# sweeps on the real chip, v5e @ batch 8192 — round 3).  rnd_mode
-# "inloop" draws each step's uniforms inside the unrolled body so the
-# threefry bits fuse into their consumers and the whole rollout can go
-# VMEM-resident — a 100-200x win where the uniform stream dominates HBM
-# traffic (wildfire: 518 f32/env/step -> ~200x).  Where the stream is
-# small (collect 5, maze 2, ctf ~20 f32/step), bulk pre-drawing
-# ("packed") vectorizes the RNG better and stays ahead
-# (artifacts/inloop_rng.md has the full sweep).  The kernels are capped by scoped VMEM, which grows with
+# sweeps on the real chip with the HONEST timing harness, v5e @ batch
+# 8192 — round 3, artifacts/measurement.md).  rnd_mode "inloop" draws
+# each step's uniforms inside the unrolled body so the threefry bits
+# fuse into their consumers instead of round-tripping a pre-drawn
+# buffer through HBM — a 13% win where the stream dominates HBM traffic
+# (wildfire: 518 f32/env/step).  Where the stream is small (collect 5,
+# maze 2, ctf ~20 f32/step), bulk pre-drawing ("packed") vectorizes the
+# RNG better and stays ahead (artifacts/inloop_rng.md has the full
+# sweep).  The kernels are capped by scoped VMEM, which grows with
 # unroll length (~16 MB limit), so they keep shallower chunks.
 MS_CHUNKS = {
-    "xla-ms": {"collect": 25, "ctf": 50, "maze": 200, "wildfire": 16},
+    "xla-ms": {"collect": 25, "ctf": 50, "maze": 100, "wildfire": 16},
     "pallas-ms": {"collect": 15, "ctf": 25, "maze": 25, "wildfire": 8},
 }
 MS_MODE = {
@@ -69,9 +70,9 @@ MS_MODE = {
 # (collect only — the other families' picks start from full masks or use
 # the stencil form).  "matmul" = one (B,C)x(C,C) f32 MXU matmul per pick
 # instead of log2(C) shifted integer adds: XLA's cost model drops from
-# 3859 to 1167 bytes/env-step and measured throughput gains ~12% at
-# batch 8192 (245.8M -> 275.7M agent-steps/s, fresh-process A/B).
-# Bit-identical outputs (tests/test_xla_ms.py).
+# 3859 to 1167 bytes/env-step and honest fresh-process throughput gains
+# 16% at batch 8192 (454.7M -> 528.8M agent-steps/s).  Bit-identical
+# outputs (tests/test_xla_ms.py).
 MS_PREFIX = {"collect": "matmul"}
 
 # Headline path per family; the rest are measured with --all-paths.
