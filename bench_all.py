@@ -29,12 +29,18 @@ import os
 import sys
 import time
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Respect cache settings the importing process already configured: the
+# test suite reaches this module via bench_multichip.run_weak_scaling and
+# points runs at its own read-only cache dir (tests/conftest.py — in-suite
+# cache WRITES segfault in executable.serialize(), a jaxlib bug), so only
+# standalone bench runs get the write-everything cache policy here.
+if not jax.config.jax_compilation_cache_dir:
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 # Reference agent-steps/s on one CPU core (BASELINE.md; CtF is the 1v1
 # number — MvN 2v2 is strictly slower upstream, so this is conservative).
@@ -66,6 +72,26 @@ MS_MODE = {
     "maze": "packed",
     "wildfire": "inloop",
 }
+# Bit generator for the rollout randomness, per family (paired
+# fresh-process A/B on the real chip, artifacts/rng_impl.md).  "rbg"
+# rides XLA's native RngBitGenerator — ~3.5x threefry's bulk uniform
+# rate on v5e (130 vs 37 Gwords/s) — and every draw inside the rollouts
+# derives from the caller's key via split/fold_in, so the key's impl
+# selects the generator end to end with zero env-code changes.  Wins:
+# wildfire 73->138M (+89%, the stream IS the workload: ~520 f32/env/
+# step), maze 570->850M (+45%), ctf 885->1042M (+18%) agent-steps/s.
+# Collect measured -7% with rbg (its stream is 5 f32/env/step and its
+# headline already keeps the MXU busy with prefix matmuls), so it stays
+# threefry.  Distribution-identical, different stream — the framework's
+# parity bar (SURVEY.md §2.3); agreement pinned in
+# tests/test_xla_ms.py::test_rbg_prng_matches_threefry_distribution.
+PRNG = {
+    "collect": "threefry2x32",
+    "ctf": "rbg",
+    "maze": "rbg",
+    "wildfire": "rbg",
+}
+
 # Prefix-sum form for the respawn picks inside the xla-ms step math
 # (collect only — the other families' picks start from full masks or use
 # the stencil form).  "matmul" = one (B,C)x(C,C) f32 MXU matmul per pick
@@ -226,15 +252,17 @@ def _timed_windows(run, states, key, work_per_rep, windows=3):
 
 
 def measure(family: str, batch: int, steps: int, reps: int, path: str,
-            prng: str = "threefry2x32"):
+            prng: str = "auto"):
     made = _make_runner(family, batch, steps, path)
     if made is None:
         return None
     init, run, agents = made
-    # prng picks the bit generator for the rollout's pre-drawn uniforms
-    # (the hot paths consume hundreds of uniforms per env step; "rbg"
-    # rides XLA's native RngBitGenerator).  Distribution-exactness — the
+    # prng picks the bit generator for the rollout's uniforms (the hot
+    # paths consume hundreds per env step); "auto" = the family's
+    # measured winner (PRNG table).  Distribution-exactness — the
     # framework's parity bar (SURVEY.md §2.3) — holds for either.
+    if prng == "auto":
+        prng = PRNG[family]
     key = lambda i: jax.random.key(i, impl=prng)  # noqa: E731
     states = init(key(0))
     states, metrics = run(states, key(1))  # compile + warm
@@ -261,9 +289,10 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
         "--prng",
-        default="threefry2x32",
-        choices=["threefry2x32", "rbg"],
-        help="bit generator for the rollout uniforms (rbg = XLA-native)",
+        default="auto",
+        choices=["auto", "threefry2x32", "rbg"],
+        help="bit generator for the rollout uniforms (rbg = XLA-native "
+        "RngBitGenerator; auto = the family's measured winner)",
     )
     p.add_argument(
         "--no-isolate",

@@ -260,10 +260,16 @@ def main(argv=None):
 
     import jax
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # Respect cache settings the host process already configured: the
+    # test suite points runs at its own read-only dir (tests/conftest.py
+    # — a concurrent TPU bench must never share writers with it, and
+    # in-suite writes segfault in executable.serialize()), so only
+    # standalone runs get the write-everything bench cache policy.
+    if not jax.config.jax_compilation_cache_dir:
+        os.makedirs("/tmp/jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")

@@ -101,6 +101,13 @@ def main(argv=None) -> int:
     p.add_argument("--chip", default="v5e")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--json", action="store_true")
+    p.add_argument(
+        "--prng",
+        default="auto",
+        choices=["auto", "threefry2x32", "rbg"],
+        help="bit generator for the rollout uniforms; auto = the family's "
+        "shipping default (bench_all.PRNG, artifacts/rng_impl.md)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -112,7 +119,13 @@ def main(argv=None) -> int:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from bench_all import MS_CHUNKS, _family_cfg, _make_runner, align_steps
+    from bench_all import (
+        MS_CHUNKS,
+        PRNG,
+        _family_cfg,
+        _make_runner,
+        align_steps,
+    )
     from gym_multigrid_tpu.utils.profiling import (
         HBM_BYTES_PER_S,
         trace,
@@ -126,14 +139,16 @@ def main(argv=None) -> int:
     init, run, agents = made
     cfg = _family_cfg(args.family)[0]
     chunk = MS_CHUNKS.get(args.path, {}).get(args.family, 1)
+    prng = PRNG[args.family] if args.prng == "auto" else args.prng
+    mk_key = lambda i: jax.random.key(i, impl=prng)  # noqa: E731
 
-    states = init(jax.random.PRNGKey(0))
+    states = init(mk_key(0))
     # XLA's own cost model for the compiled rollout: total flops and HBM
     # bytes it expects to move per launch — the mechanical check behind the
     # binding-resource classification (designed-traffic says what the math
     # REQUIRES; cost_analysis says what the compiled program actually
     # schedules, intermediates included).
-    compiled = jax.jit(run).lower(states, jax.random.PRNGKey(1)).compile()
+    compiled = jax.jit(run).lower(states, mk_key(1)).compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else (ca or {})
     launch_env_steps = args.batch * steps
@@ -142,12 +157,12 @@ def main(argv=None) -> int:
         float(ca.get("bytes accessed", 0.0)) / launch_env_steps
     )
 
-    states, m = run(states, jax.random.PRNGKey(1))  # compile + warm
+    states, m = run(states, mk_key(1))  # compile + warm
     float(jax.device_get(m["reward_sum"]))
 
     if args.trace:
         with trace(args.trace):
-            states, m = run(states, jax.random.PRNGKey(2))
+            states, m = run(states, mk_key(2))
             float(jax.device_get(m["reward_sum"]))
         print(f"trace written to {args.trace} (load in TensorBoard)")
 
@@ -157,7 +172,7 @@ def main(argv=None) -> int:
     calib = 2
     t0 = time.perf_counter()
     for r in range(calib):
-        states, m = run(states, jax.random.PRNGKey(100 + r))
+        states, m = run(states, mk_key(100 + r))
     float(jax.device_get(m["reward_sum"]))
     per_rep = max((time.perf_counter() - t0) / calib, 1e-4)
     reps = max(args.reps, int(1.0 / per_rep) + 1)
@@ -165,7 +180,7 @@ def main(argv=None) -> int:
     for w in range(3):
         t0 = time.perf_counter()
         for r in range(reps):
-            states, m = run(states, jax.random.PRNGKey(3 + 31 * w + r))
+            states, m = run(states, mk_key(3 + 31 * w + r))
         float(jax.device_get(m["reward_sum"]))
         best_dt = min(best_dt, time.perf_counter() - t0)
 
@@ -181,6 +196,7 @@ def main(argv=None) -> int:
         "path": args.path,
         "batch": args.batch,
         "backend": jax.default_backend(),
+        "prng": prng,
         "agent_steps_per_s": round(env_steps_per_s * agents, 1),
         "env_steps_per_s": round(env_steps_per_s, 1),
         "designed_bytes_per_env_step": bytes_per_env_step,

@@ -22,12 +22,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Only configure the bench cache when the importing process hasn't set
+# its own (the test suite uses a read-only dir — see tests/conftest.py).
+if not jax.config.jax_compilation_cache_dir:
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def _family_cfg(family: str):
@@ -104,13 +107,15 @@ def _episode_rollout(family: str, cfg, chunk: int, use_kernel: bool,
     raise ValueError(family)
 
 
-def measure_one(spec: str, batch: int, steps: int, reps: int):
+def measure_one(spec: str, batch: int, steps: int, reps: int,
+                prng: str = "threefry2x32"):
     # spec = family:path[:chunk[:rnd_mode[:prefix_mode]]]
     parts = spec.split(":")
     family, path = parts[0], parts[1]
     chunk = int(parts[2]) if len(parts) >= 3 else 25
     rnd_mode = parts[3] if len(parts) >= 4 else "packed"
     prefix_mode = parts[4] if len(parts) >= 5 else "adds"
+    mk_key = lambda i: jax.random.key(i, impl=prng)  # noqa: E731
     cfg, make_batch, agents = _family_cfg(family)
     env = make_batch(cfg, batch, use_pallas=(path == "pallas-step"))
     init = jax.jit(lambda k: env.reset(k)[0])
@@ -127,9 +132,9 @@ def measure_one(spec: str, batch: int, steps: int, reps: int):
     else:
         run = jax.jit(lambda s, k: env.rollout(s, k, steps))
 
-    states = init(jax.random.PRNGKey(0))
+    states = init(mk_key(0))
     t0 = time.perf_counter()
-    states, metrics = run(states, jax.random.PRNGKey(1))
+    states, metrics = run(states, mk_key(1))
     float(jax.device_get(metrics["reward_sum"]))
     compile_s = time.perf_counter() - t0
 
@@ -139,7 +144,7 @@ def measure_one(spec: str, batch: int, steps: int, reps: int):
     calib = 2
     t0 = time.perf_counter()
     for r in range(calib):
-        states, metrics = run(states, jax.random.PRNGKey(100 + r))
+        states, metrics = run(states, mk_key(100 + r))
     float(jax.device_get(metrics["reward_sum"]))
     per_rep = max((time.perf_counter() - t0) / calib, 1e-4)
     reps = max(reps, int(1.0 / per_rep) + 1)
@@ -148,7 +153,7 @@ def measure_one(spec: str, batch: int, steps: int, reps: int):
         t0 = time.perf_counter()
         for r in range(reps):
             states, metrics = run(
-                states, jax.random.PRNGKey(2 + w * reps + r)
+                states, mk_key(2 + w * reps + r)
             )
         float(jax.device_get(metrics["reward_sum"]))
         best = min(best, time.perf_counter() - t0)
@@ -159,6 +164,7 @@ def measure_one(spec: str, batch: int, steps: int, reps: int):
                 "spec": spec,
                 "agent_steps_per_s": round(aps, 1),
                 "compile_s": round(compile_s, 1),
+                "prng": prng,
                 "backend": jax.default_backend(),
             }
         )
@@ -174,11 +180,13 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--prng", default="threefry2x32",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"])
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     for spec in args.spec:
-        measure_one(spec, args.batch, args.steps, args.reps)
+        measure_one(spec, args.batch, args.steps, args.reps, prng=args.prng)
 
 
 if __name__ == "__main__":

@@ -19,3 +19,45 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Tests-only compilation cache, READ-ONLY during the suite.
+#
+# Earlier rounds ran the suite with no persistent cache at all (~13 min,
+# every program compiled in-memory).  Enabling one must respect two
+# crashes observed while trying:
+# * the bench harnesses write /tmp/jax_cache from their own processes —
+#   a suite sharing that dir with a concurrent TPU bench had two writers
+#   and segfaulted in the cache writer.  Tests get their own stable dir.
+# * `executable.serialize()` inside the cache WRITE path segfaults
+#   late in a full-suite process (hundreds of loaded executables) —
+#   reproducibly at tests/test_xla_ms.py's wildfire inloop compile, while
+#   the identical test standalone passes and writes fine.  That's a
+#   jaxlib bug we can only avoid: min_compile_time_secs is checked
+#   BEFORE serialize (jax/_src/compiler.py _cache_write), so a huge
+#   threshold keeps cache READS warm and skips every in-suite write.
+#   New programs compile in-memory each run; populate the dir by running
+#   the owning test file standalone if a recompile ever gets annoying.
+_cache_dir = "/tmp/jax_cache_tests"
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+
+
+def pytest_runtest_teardown(item):
+    """Invariant: NOTHING in the suite may re-enable cache writes.
+
+    The failure mode this guards against is nasty: a test that imports a
+    bench module whose import-time config sets min_compile_time back to 0
+    re-arms the serialize() segfault, and the suite then dies ~200 tests
+    LATER at whatever large program compiles next (that is exactly how
+    round 3 found it: test_bench_multichip -> import bench_all -> crash in
+    test_xla_ms).  Failing the offending test here turns that haunted-
+    house crash into a one-line diagnosis."""
+    v = jax.config.jax_persistent_cache_min_compile_time_secs
+    d = jax.config.jax_compilation_cache_dir
+    if v != 1e9 or d != _cache_dir:
+        raise RuntimeError(
+            f"persistent-cache config changed after {item.nodeid}: "
+            f"min_compile_time={v}, dir={d} — writes must stay disabled "
+            "in-suite (see the cache comment above)"
+        )
