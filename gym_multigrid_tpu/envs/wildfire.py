@@ -159,6 +159,16 @@ class WfTables(NamedTuple):
     # (1-p_spread)^k for k = 0..4: the ignition survival table, selected by
     # the integer neighbor count (exact f32 constants — no pow in-graph).
     survival: tuple[float, float, float, float, float]
+    # uint8 compare thresholds for the compact-field mode: P(u8 < T) = T/256.
+    # T = round(p * 256), so each probability is quantized to the nearest
+    # 1/256 (max relative shift at the defaults: burnout 0.1 -> 26/256 =
+    # 0.1016, +1.6%; ignition probs shift <= 0.3%).  Chosen because XLA
+    # cannot fuse RngBitGenerator into its consumers — the uniform field
+    # round-trips HBM at 8 bytes/f32 draw, and wildfire's field is the
+    # workload (~520 draws/env/step); u8 bytes cut that stream 4x.
+    ignite_u8: tuple[int, int, int, int, int]
+    burnout_u8: int
+    tree_u8: int
     ext_reward: float
     burn_penalty: float
     step_penalty: float
@@ -183,6 +193,12 @@ def wf_tables(cfg: WildfireConfig) -> WfTables:
         tree_density=float(cfg.tree_density),
         p_burnout=float(cfg.p_burnout),
         survival=tuple(np.float32(q) ** k for k in range(5)),
+        ignite_u8=tuple(
+            int(round((1.0 - float(np.float32(q) ** k)) * 256))
+            for k in range(5)
+        ),
+        burnout_u8=int(round(cfg.p_burnout * 256)),
+        tree_u8=int(round(cfg.tree_density * 256)),
         ext_reward=float(cfg.ext_reward),
         burn_penalty=float(cfg.burn_penalty),
         step_penalty=float(cfg.step_penalty),
@@ -190,6 +206,15 @@ def wf_tables(cfg: WildfireConfig) -> WfTables:
         perms=tuple(itertools.permutations(range(cfg.num_agents))),
         action_dx=tuple(int(v[1]) for v in CTF_ACTION_TO_VEC),
         action_dy=tuple(int(v[0]) for v in CTF_ACTION_TO_VEC),
+    )
+
+
+def compact_supported(t: WfTables) -> bool:
+    """u8-threshold fields need every probability < 1 at 1/256 resolution
+    (a threshold of 256 has no uint8 representation; p_spread/p_burnout/
+    tree_density >= 255.5/256 round there)."""
+    return (
+        max(t.ignite_u8) <= 255 and t.burnout_u8 <= 255 and t.tree_u8 <= 255
     )
 
 
@@ -228,15 +253,24 @@ def reset_rnd_width(t: WfTables) -> int:
 def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
     """One wildfire transition for a (B, C) slab.  Pure jax, Mosaic-safe.
 
-    cells: (B, C) int32 flat board (idx = y*width + x)
+    cells: (B, C) int cell type (int32; the compact in-loop episode path
+           passes int8 — the math is dtype-polymorphic, values 0..4)
     pos:   (B, 2*A) int32 [a0x, a0y, a1x, a1y, ...]
     acts:  (B, A) int32
-    rnd:   (B, 1 + C) f32 uniforms [move-order, per-cell field]
+    rnd:   (B, 1 + C) f32 uniforms [move-order, per-cell field], OR the
+           compact form: a tuple (u_perm (B, 1) f32, field (B, C) uint8)
+           whose field compares against the t.*_u8 thresholds —
+           distribution-identical up to the documented 1/256 quantization
+           (WfTables.ignite_u8 comment), 1/4 the HBM stream.
     adj:   (C, C) f32 4-neighbor adjacency
 
     Returns (cells', pos', reward (B,1) f32 team reward, n_ext (B,1) i32,
     terminated (B,1) int32).
     """
+    if isinstance(rnd, tuple):
+        u_perm, field = rnd
+    else:
+        u_perm, field = rnd[:, 0:1], rnd[:, 1:]
     B, C = cells.shape
     A = t.n_agents
     w = t.width
@@ -246,7 +280,7 @@ def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
     # distribution as jax.random.permutation over A elements).
     n_perms = len(t.perms)
     pidx = jnp.minimum(
-        (rnd[:, 0:1] * n_perms).astype(jnp.int32), n_perms - 1
+        (u_perm * n_perms).astype(jnp.int32), n_perms - 1
     )  # (B,1)
 
     xs = [pos[:, 2 * i : 2 * i + 1] for i in range(A)]
@@ -301,29 +335,43 @@ def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
     # the Pallas kernels need; also generalizes to any board topology).
     # adj = None: plain-XLA consumers count neighbors with four masked
     # lane shifts instead — identical integers, no MXU.
-    u = rnd[:, 1 : 1 + C]
+    u = field
     if adj is None:
-        f = (cells == FIRE).astype(jnp.int32)
+        # i8-safe neighbor count: stays in the cells dtype (the compact
+        # path passes int8 boards; sums are <= 4 so no overflow).
+        f = (cells == FIRE).astype(cells.dtype)
         north = jnp.pad(f, ((0, 0), (w, 0)))[:, :C]
         south = jnp.pad(f, ((0, 0), (0, w)))[:, w:]
         col = np.arange(C) % w
-        not_x0 = jnp.asarray((col != 0).astype(np.int32))[None, :]
-        not_xl = jnp.asarray((col != w - 1).astype(np.int32))[None, :]
+        not_x0 = jnp.asarray((col != 0).astype(np.int8)).astype(cells.dtype)[
+            None, :
+        ]
+        not_xl = jnp.asarray((col != w - 1).astype(np.int8)).astype(
+            cells.dtype
+        )[None, :]
         west = jnp.pad(f, ((0, 0), (1, 0)))[:, :C] * not_x0
         east = jnp.pad(f, ((0, 0), (0, 1)))[:, 1:] * not_xl
         nb = (north + south + west + east).astype(jnp.float32)
     else:
         fire = (cells == FIRE).astype(jnp.float32)
         nb = jnp.dot(fire, adj, preferred_element_type=jnp.float32)  # (B, C)
-    p_ig = jnp.zeros((B, C), jnp.float32)
-    for k in range(1, 5):
-        p_ig = jnp.where(nb == float(k), 1.0 - t.survival[k], p_ig)
-    ignite = (cells == TREE) & (u < p_ig)
+    if u.dtype == jnp.uint8:
+        thr = jnp.zeros((B, C), jnp.uint8)
+        for k in range(1, 5):
+            thr = jnp.where(nb == float(k), jnp.uint8(t.ignite_u8[k]), thr)
+        ignite = (cells == TREE) & (u < thr)
+        burn_draw = u < jnp.uint8(t.burnout_u8)
+    else:
+        p_ig = jnp.zeros((B, C), jnp.float32)
+        for k in range(1, 5):
+            p_ig = jnp.where(nb == float(k), 1.0 - t.survival[k], p_ig)
+        ignite = (cells == TREE) & (u < p_ig)
+        burn_draw = u < t.p_burnout
     n_ignited = jnp.sum(ignite.astype(jnp.int32), axis=1, keepdims=True)
 
     # Burnout shares the field: burnout reads u at FIRE cells, ignition at
     # TREE cells — disjoint, so the draws stay independent.
-    burnout = (cells == FIRE) & (u < t.p_burnout)
+    burnout = (cells == FIRE) & burn_draw
     cells = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells))
 
     reward = (
@@ -348,32 +396,43 @@ def wf_reset_math(t: WfTables, rnd, tril):
     masked picks: initial fires uniform among trees without replacement,
     agent spawns uniform among all cells without replacement (the same
     distributions as bernoulli + Gumbel-top-k + choice(replace=False)).
-    Returns (cells (B, C), pos (B, 2*A)).
+    Compact form: a tuple (tree_field (B, C) uint8, picks (B, n_fires+A)
+    f32) — the bulk per-cell draw as raw bytes vs t.tree_u8 (1/256
+    quantization, see WfTables), picks stay f32 (they index up to C cells
+    and are only n_fires+A values).
+    Returns (cells (B, C), pos (B, 2*A)) in the int dtype of ``out_dtype``
+    (int32 default; the compact episode path asks for int8).
     """
-    B = rnd.shape[0]
+    if isinstance(rnd, tuple):
+        tree_field, picks = rnd
+        trees = tree_field < jnp.uint8(t.tree_u8)
+        out_dtype = jnp.int8
+    else:
+        trees = rnd[:, : t.n_cells] < t.tree_density
+        picks = rnd[:, t.n_cells :]
+        out_dtype = jnp.int32
+    B = trees.shape[0]
     C = t.n_cells
     w = t.width
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
 
-    trees = rnd[:, :C] < t.tree_density
     cells = jnp.where(trees, TREE, EMPTY)
 
     # One prefix sum for ALL fire picks, one-pass updates between them
     # (bit-identical to re-summing; PickState docstring).
     ps = PickState.make(trees, tril, lane)
     for j in range(t.n_fires):
-        hit, _, ps = ps.pick(rnd[:, C + j : C + j + 1])
+        hit, _, ps = ps.pick(picks[:, j : j + 1])
         cells = jnp.where(hit, FIRE, cells)
 
     # Agent spawns start from the all-free mask, whose prefix sum is
     # lane+1 — no prefix-sum pass at all.
     ps = PickState.full(B, C, lane)
     pos_cols = []
-    base = C + t.n_fires
     for i in range(t.n_agents):
-        _, idx, ps = ps.pick(rnd[:, base + i : base + i + 1])
+        _, idx, ps = ps.pick(picks[:, t.n_fires + i : t.n_fires + i + 1])
         pos_cols.extend([idx % w, idx // w])
-    return cells.astype(jnp.int32), jnp.concatenate(pos_cols, axis=1)
+    return cells.astype(out_dtype), jnp.concatenate(pos_cols, axis=1)
 
 
 def make_wildfire(cfg: WildfireConfig) -> WildfireFns:

@@ -43,6 +43,43 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 
+# Modules whose tests compile many large programs (episode rollouts, PPO
+# train steps, pallas kernels).  Live compiled-executable count in a single
+# pytest process otherwise grows with TEST COUNT, and jaxlib gets fragile
+# past a few hundred executables (round 3's end-of-suite SIGSEGV — root
+# cause note: artifacts/suite_segfault_rootcause.md).  Clearing jax's
+# in-process caches at these module boundaries bounds accumulation per
+# module; persistent-cache READS keep any recompiles cheap.
+_HEAVY_MODULE_PREFIXES = (
+    "test_xla_ms",
+    "test_pallas",
+    "test_ppo",
+    "test_training",
+    "test_bench_multichip",
+    "test_shard_map",
+    "test_parallel",
+    "test_selfplay",
+)
+
+_last_module = [None]
+
+
+def _module_name(item):
+    return getattr(item, "module", None) and item.module.__name__ or ""
+
+
+def pytest_runtest_setup(item):
+    prev, cur = _last_module[0], _module_name(item)
+    if prev is not None and prev != cur and prev.startswith(
+        _HEAVY_MODULE_PREFIXES
+    ):
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+    _last_module[0] = cur
+
+
 def pytest_runtest_teardown(item):
     """Invariant: NOTHING in the suite may re-enable cache writes.
 

@@ -300,53 +300,39 @@ def test_inloop_rnd_matches_packed_distribution_wildfire():
 def test_rbg_prng_matches_threefry_distribution(family):
     """The TPU headline runs use rbg-typed keys (XLA's native
     RngBitGenerator — 3.5x the bulk uniform rate of threefry on the chip,
-    bench_all.py PRNG / artifacts/rng_impl.md).  Every draw inside the
-    rollouts derives from the caller's key via split/fold_in, so the key's
-    impl selects the generator end to end.  rbg must agree with threefry
-    distributionally: same episode accounting and reward rate within
-    sampling noise (streams differ by design — SURVEY.md §2.3 parity bar)."""
-    steps = 100
-    if family == "wildfire":
-        from gym_multigrid_tpu.envs.wildfire import WildfireConfig
-        from gym_multigrid_tpu.ops.pallas_wildfire import (
-            make_wildfire_episode_rollout,
-        )
-        from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+    bench_all.py PRNG / artifacts/rng_impl.md).  rbg must agree with
+    threefry distributionally: same episode accounting and reward rate
+    within sampling noise (streams differ by design — SURVEY.md §2.3).
 
-        cfg = WildfireConfig(size=16, max_steps=50)
-        env = make_wildfire_batch(cfg, 128)
-        roll = make_wildfire_episode_rollout(cfg, chunk=8, use_kernel=False)
-    else:
-        from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-        from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
-        from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+    Runs in a SUBPROCESS (tests/_rbg_dist_check.py): in round 3 this exact
+    check reproducibly segfaulted when run at the END of the full suite
+    (rbg keys through pjit after ~230 tests of accumulated executables on
+    the 8-device mesh) while passing standalone — accumulated jaxlib
+    process state, not semantics.  A fresh interpreter sidesteps it and
+    keeps the distributional guard in every suite run.  Root cause note:
+    artifacts/suite_segfault_rootcause.md.
+    """
+    import json
+    import subprocess
+    import sys
 
-        cfg = CtfConfig.from_map_path(
-            os.path.join(TESTS, "assets/board.txt"),
-            num_blue_agents=2,
-            num_red_agents=2,
-            variant="mvn",
-            enemy_policies=(PolicySpec("fight"), PolicySpec("rw")),
-            observation_option="flattened",
-        )
-        env = make_ctf_batch(cfg, 128)
-        roll = make_ctf_episode_rollout(
-            cfg, chunk=10, use_kernel=False, rnd_mode="packed"
-        )
-    run = jax.jit(lambda s, k, K: roll(s, k, K), static_argnums=2)
-    # Per-seed reward/episode is noisy (threefry's own seed-to-seed spread
-    # is ~19% for wildfire at this size), so compare 3-seed MEANS.
-    eps, rates = {}, {}
-    for impl in ("threefry2x32", "rbg"):
-        e_tot, r_tot = 0, 0.0
-        for seed in range(3):
-            states, _ = env.reset(jax.random.key(seed, impl=impl))
-            _, m = run(states, jax.random.key(100 + seed, impl=impl), steps)
-            e_tot += int(m["episodes"])
-            r_tot += float(m["reward_sum"])
-        eps[impl], rates[impl] = e_tot, r_tot / e_tot
-    e_tf, e_rb = eps["threefry2x32"], eps["rbg"]
-    assert e_tf > 0 and e_rb > 0
-    assert abs(e_rb - e_tf) / e_tf < 0.1
-    r_tf, r_rb = rates["threefry2x32"], rates["rbg"]
-    assert abs(r_rb - r_tf) / max(abs(r_tf), 1e-6) < 0.15
+    script = os.path.join(TESTS, "_rbg_dist_check.py")
+    env = dict(os.environ)
+    repo = os.path.dirname(TESTS)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, script, family],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, (
+        f"rbg check subprocess failed (rc={proc.returncode})\n"
+        + proc.stdout[-3000:]
+        + proc.stderr[-3000:]
+    )
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["ok"] is True
+    assert rec["family"] == family
