@@ -96,21 +96,44 @@ class Grid:
         return out
 
     def slice(self, topX: int, topY: int, width: int, height: int) -> "Grid":
-        """Sub-grid; out-of-bounds cells become walls (grid.py:111-130)."""
+        """Sub-grid; out-of-bounds cells become walls (grid.py:111-130).
+
+        Worlds without a "wall" type (CtF, Maze) use their canonical
+        impassable object instead — a sight-blocking grey Obstacle.  The
+        reference would KeyError here (its partial-obs pipeline is dead
+        code upstream, SURVEY.md §2.2); this choice makes gen_obs total
+        for every shipped world and is mirrored by the in-graph pipeline
+        (envs/partial_obs.py wall_encode per family)."""
         out = Grid(width, height, self.world)
+        if "wall" in self.world.OBJECT_TO_IDX:
+            def boundary():
+                return Wall(self.world)
+        elif "obstacle" in self.world.OBJECT_TO_IDX:
+            from gym_multigrid_tpu.core.object import Obstacle
+
+            def boundary():
+                return Obstacle(self.world, can_see_through=False)
+        else:
+            def boundary():
+                raise KeyError(
+                    f"world {self.world!r} has neither 'wall' nor "
+                    "'obstacle'; cannot fill out-of-bounds view cells"
+                )
         for j in range(height):
             for i in range(width):
                 x, y = topX + i, topY + j
                 if 0 <= x < self.width and 0 <= y < self.height:
                     out.set(i, j, self.get(x, y))
                 else:
-                    out.set(i, j, Wall(self.world))
+                    out.set(i, j, boundary())
         return out
 
     # -- encoding ----------------------------------------------------------
     def _encode_with(self, encode_cell, vis_mask=None) -> np.ndarray:
         dim = self.world.encode_dim
-        empty_idx = self.world.OBJECT_TO_IDX["empty"]
+        # Worlds without an "empty" type (CtF/Maze boards are fully
+        # painted, so no cell is ever None) background to 0.
+        empty_idx = self.world.OBJECT_TO_IDX.get("empty", 0)
         array = np.zeros((self.width, self.height, dim), dtype=np.uint8)
         array[:, :, 0] = empty_idx
         if vis_mask is None:

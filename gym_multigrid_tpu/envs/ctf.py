@@ -725,6 +725,86 @@ def make_ctf(cfg: CtfConfig) -> CtfFns:
     )
 
 
+def make_ctf_partial_encode(
+    cfg: CtfConfig, view_size: int = 7, see_through_walls: bool = False
+):
+    """Batched agent-FOV observations: ``fn(state) -> (n_agents, V, V, 3)``.
+
+    The in-graph counterpart of the host ``MultiGridEnv.gen_obs`` pipeline
+    for the CtF world (reference multigrid.py:485-545 — dead code
+    upstream, fixed host-side here): view slice + rotate-to-face-up +
+    shadow-cast visibility + masked 3-dim grid encode.  Cell encodes
+    mirror the reference ``_gen_grid`` painting (ctf.py:279-323): Floor
+    territory (light_blue/light_red), grey Obstacles (can_see_through, so
+    nothing in-bounds blocks sight), Flags, and agents typed
+    blue_agent/red_agent whose color greys on defeat (ctf.py:1409-1418).
+    Out-of-view-bounds cells read as sight-blocking grey obstacles — the
+    CtF world has no wall type, so the board edge uses its canonical
+    impassable object (core/grid.py slice boundary rule).
+    Differentially tested against the host pipeline in
+    tests/test_partial_obs.py.
+    """
+    from gym_multigrid_tpu.envs.partial_obs import make_partial_obs_fn
+
+    t = build_tables(cfg)
+    W, H = t.fm.shape
+    CI = CtfWorld.COLOR_TO_IDX
+    n_agents = cfg.num_agents
+    n_blue = cfg.num_blue_agents
+
+    typ = np.zeros((W, H), np.int32)
+    col = np.zeros((W, H), np.int32)
+    for (i, j) in t.blue_territory:
+        typ[i, j], col[i, j] = BLUE_TERRITORY, CI["light_blue"]
+    for (i, j) in t.red_territory:
+        typ[i, j], col[i, j] = RED_TERRITORY, CI["light_red"]
+    for (i, j) in t.obstacle.reshape(-1, 2):
+        typ[i, j], col[i, j] = OBSTACLE, CI["grey"]
+    typ[tuple(t.blue_flag)], col[tuple(t.blue_flag)] = BLUE_FLAG, CI["blue"]
+    typ[tuple(t.red_flag)], col[tuple(t.red_flag)] = RED_FLAG, CI["red"]
+    base_typ = jnp.asarray(typ)
+    base_col = jnp.asarray(col)
+
+    obs_fn = make_partial_obs_fn(
+        W, H, view_size,
+        wall_encode=(OBSTACLE, CI["grey"], 0),
+        see_through_walls=see_through_walls,
+    )
+
+    agent_typ = np.array(
+        [BLUE_AGENT if a < n_blue else RED_AGENT for a in range(n_agents)],
+        np.int32,
+    )
+    live_col = np.array(
+        [CI["blue"] if a < n_blue else CI["red"] for a in range(n_agents)],
+        np.int32,
+    )
+    dead_col = np.array(
+        [CI["blue_grey"] if a < n_blue else CI["red_grey"]
+         for a in range(n_agents)],
+        np.int32,
+    )
+
+    def encode_partial(state: CtfState) -> jax.Array:
+        typ_d, col_d = base_typ, base_col
+        ch2 = jnp.zeros((W, H), jnp.int32)
+        for a in range(n_agents):
+            x, y = state.pos[a, 0], state.pos[a, 1]
+            c = jnp.where(state.terminated[a], dead_col[a], live_col[a])
+            typ_d = typ_d.at[x, y].set(agent_typ[a])
+            col_d = col_d.at[x, y].set(c)
+            ch2 = ch2.at[x, y].set(state.dir[a])
+        planes = jnp.stack([typ_d, col_d, ch2])
+        # Obstacles are can_see_through=True (reference object.py:190);
+        # no in-bounds cell blocks sight.
+        opaque = jnp.zeros((W, H), bool)
+        return jax.vmap(
+            lambda p, d: obs_fn(planes, opaque, p, d)
+        )(state.pos, state.dir)
+
+    return encode_partial
+
+
 @functools.cache
 def cached_ctf(cfg: CtfConfig) -> CtfFns:
     """Memoized jitted function bundle."""

@@ -219,6 +219,61 @@ def make_maze(cfg: MazeConfig) -> MazeFns:
     )
 
 
+def make_maze_partial_encode(
+    cfg: MazeConfig, view_size: int = 7, see_through_walls: bool = True
+):
+    """Agent-FOV observation: ``fn(state) -> (1, V, V, 3)`` uint8.
+
+    The in-graph counterpart of the host ``MultiGridEnv.gen_obs`` pipeline
+    for the Maze world (reference multigrid.py:485-545 — dead code
+    upstream, fixed host-side here).  Cell encodes mirror the reference
+    ``_gen_grid`` painting (maze.py:182-197): white Floor background, grey
+    Obstacles, red Flags, and the single blue agent.  Defaults follow the
+    reference env's declaration ``see_through_walls=True`` (maze.py:107),
+    under which the shipped view_size=100 makes the FOV the whole padded
+    board — any odd ``view_size`` is supported here, with out-of-bounds
+    cells reading as grey obstacles (the Maze world has no wall type; the
+    board edge uses its canonical impassable object, core/grid.py slice
+    boundary rule).  Differentially tested against the host pipeline in
+    tests/test_partial_obs.py.
+    """
+    from gym_multigrid_tpu.core.world import MazeWorld
+    from gym_multigrid_tpu.envs.partial_obs import make_partial_obs_fn
+
+    fm = cfg.field_map
+    W, H = fm.shape
+    CI = MazeWorld.COLOR_TO_IDX
+
+    typ = np.zeros((W, H), np.int32)
+    col = np.zeros((W, H), np.int32)
+    col[fm == BACKGROUND] = CI["white"]
+    typ[fm == M_OBSTACLE] = M_OBSTACLE
+    col[fm == M_OBSTACLE] = CI["grey"]
+    typ[fm == FLAG] = FLAG
+    col[fm == FLAG] = CI["red"]
+    base_typ = jnp.asarray(typ)
+    base_col = jnp.asarray(col)
+
+    obs_fn = make_partial_obs_fn(
+        W, H, view_size,
+        wall_encode=(M_OBSTACLE, CI["grey"], 0),
+        see_through_walls=see_through_walls,
+    )
+
+    def encode_partial(state: MazeState) -> jax.Array:
+        x, y = state.pos[0], state.pos[1]
+        typ_d = base_typ.at[x, y].set(M_AGENT)
+        col_d = base_col.at[x, y].set(CI["blue"])
+        ch2 = jnp.zeros((W, H), jnp.int32).at[x, y].set(state.dir)
+        planes = jnp.stack([typ_d, col_d, ch2])
+        # Obstacles are can_see_through=True (reference object.py:190);
+        # nothing in-bounds blocks sight even when see_through_walls=False.
+        opaque = jnp.zeros((W, H), bool)
+        return obs_fn(planes, opaque, state.pos, state.dir)[None]
+
+    return encode_partial
+
+
 @functools.cache
 def cached_maze(cfg: MazeConfig) -> MazeFns:
     fns = make_maze(cfg)

@@ -95,7 +95,12 @@ def make_partial_obs_fn(
     """
     V = view_size
     hs = V // 2
-    assert V % 2 == 1 and V <= min(width, height) + hs, "view must fit pad"
+    # Any odd V works: the planes are padded by V on every side, and the
+    # farthest view corner sits V-1 cells past the board, so the dynamic
+    # slice is always in-bounds (views larger than the board just see
+    # more wall fill — the reference Maze declares view_size=100 on a
+    # 13x13 board this way).
+    assert V % 2 == 1, "view size must be odd"
     if wall_type_idx is None:
         wall_type_idx = wall_encode[0]
 

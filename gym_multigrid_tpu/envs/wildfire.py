@@ -238,46 +238,36 @@ def adjacency(cfg_or_t) -> np.ndarray:
     return a
 
 
-# rnd column layout per step: [u_perm] + [field_0..field_{C-1}]
-def step_rnd_width(t: WfTables) -> int:
-    return 1 + t.n_cells
-
-
-# reset rnd layout: [tree_0..tree_{C-1}] + [fire picks] + [agent picks]
-def reset_rnd_width(t: WfTables) -> int:
-    return t.n_cells + t.n_fires + t.n_agents
-
-
-
-
-def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
-    """One wildfire transition for a (B, C) slab.  Pure jax, Mosaic-safe.
-
-    cells: (B, C) int cell type (int32; the compact in-loop episode path
-           passes int8 — the math is dtype-polymorphic, values 0..4)
-    pos:   (B, 2*A) int32 [a0x, a0y, a1x, a1y, ...]
-    acts:  (B, A) int32
-    rnd:   (B, 1 + C) f32 uniforms [move-order, per-cell field], OR the
-           compact form: a tuple (u_perm (B, 1) f32, field (B, C) uint8)
-           whose field compares against the t.*_u8 thresholds —
-           distribution-identical up to the documented 1/256 quantization
-           (WfTables.ignite_u8 comment), 1/4 the HBM stream.
-    adj:   (C, C) f32 4-neighbor adjacency
-
-    Returns (cells', pos', reward (B,1) f32 team reward, n_ext (B,1) i32,
-    terminated (B,1) int32).
-    """
-    if isinstance(rnd, tuple):
-        u_perm, field = rnd
-    else:
-        u_perm, field = rnd[:, 0:1], rnd[:, 1:]
-    B, C = cells.shape
-    A = t.n_agents
+def _neighbor_fires(t: WfTables, cells):
+    """Per-cell count of burning 4-neighbors for a (B, C) flat board —
+    the matmul-free lane-shift form of the adjacency stencil (identical
+    integers).  Stays in the cells dtype (sums <= 4, so int8 boards from
+    the compact episode path don't overflow)."""
+    C = cells.shape[1]
     w = t.width
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    f = (cells == FIRE).astype(cells.dtype)
+    north = jnp.pad(f, ((0, 0), (w, 0)))[:, :C]
+    south = jnp.pad(f, ((0, 0), (0, w)))[:, w:]
+    col = np.arange(C) % w
+    not_x0 = jnp.asarray((col != 0).astype(np.int8)).astype(cells.dtype)[
+        None, :
+    ]
+    not_xl = jnp.asarray((col != w - 1).astype(np.int8)).astype(cells.dtype)[
+        None, :
+    ]
+    west = jnp.pad(f, ((0, 0), (1, 0)))[:, :C] * not_x0
+    east = jnp.pad(f, ((0, 0), (0, 1)))[:, 1:] * not_xl
+    return north + south + west + east
 
-    # Move order: uniform index into the static permutation table (same
-    # distribution as jax.random.permutation over A elements).
+
+def _move_agents(t: WfTables, pos, acts, u_perm):
+    """Sequential random-order agent moves for a (B, 2*A) position slab
+    (uniform permutation via the static table; later movers see earlier
+    movers' updates).  Returns per-agent column lists (xs, ys); shared by
+    :func:`wf_step_math` and the compact episode chunk."""
+    B = pos.shape[0]
+    A = t.n_agents
+
     n_perms = len(t.perms)
     pidx = jnp.minimum(
         (u_perm * n_perms).astype(jnp.int32), n_perms - 1
@@ -320,6 +310,41 @@ def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
         for i in range(A):
             xs[i] = jnp.where(i_vec == i, new_x, xs[i])
             ys[i] = jnp.where(i_vec == i, new_y, ys[i])
+    return xs, ys
+
+
+# rnd column layout per step: [u_perm] + [field_0..field_{C-1}]
+def step_rnd_width(t: WfTables) -> int:
+    return 1 + t.n_cells
+
+
+# reset rnd layout: [tree_0..tree_{C-1}] + [fire picks] + [agent picks]
+def reset_rnd_width(t: WfTables) -> int:
+    return t.n_cells + t.n_fires + t.n_agents
+
+
+
+
+def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
+    """One wildfire transition for a (B, C) slab.  Pure jax, Mosaic-safe.
+
+    cells: (B, C) int32 flat board (idx = y*width + x)
+    pos:   (B, 2*A) int32 [a0x, a0y, a1x, a1y, ...]
+    acts:  (B, A) int32
+    rnd:   (B, 1 + C) f32 uniforms [move-order, per-cell field]
+    adj:   (C, C) f32 4-neighbor adjacency
+
+    Returns (cells', pos', reward (B,1) f32 team reward, n_ext (B,1) i32,
+    terminated (B,1) int32).  (The in-loop episode headline runs the
+    trace-optimized :func:`wf_compact_ms` instead — same distributions.)
+    """
+    u_perm, field = rnd[:, 0:1], rnd[:, 1:]
+    B, C = cells.shape
+    A = t.n_agents
+    w = t.width
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+
+    xs, ys = _move_agents(t, pos, acts, u_perm)
 
     # Extinguish: agent occupancy via lane compares (no scatter).
     occ = jnp.zeros((B, C), dtype=bool)
@@ -337,41 +362,19 @@ def wf_step_math(t: WfTables, cells, pos, acts, rnd, adj):
     # lane shifts instead — identical integers, no MXU.
     u = field
     if adj is None:
-        # i8-safe neighbor count: stays in the cells dtype (the compact
-        # path passes int8 boards; sums are <= 4 so no overflow).
-        f = (cells == FIRE).astype(cells.dtype)
-        north = jnp.pad(f, ((0, 0), (w, 0)))[:, :C]
-        south = jnp.pad(f, ((0, 0), (0, w)))[:, w:]
-        col = np.arange(C) % w
-        not_x0 = jnp.asarray((col != 0).astype(np.int8)).astype(cells.dtype)[
-            None, :
-        ]
-        not_xl = jnp.asarray((col != w - 1).astype(np.int8)).astype(
-            cells.dtype
-        )[None, :]
-        west = jnp.pad(f, ((0, 0), (1, 0)))[:, :C] * not_x0
-        east = jnp.pad(f, ((0, 0), (0, 1)))[:, 1:] * not_xl
-        nb = (north + south + west + east).astype(jnp.float32)
+        nb = _neighbor_fires(t, cells).astype(jnp.float32)
     else:
         fire = (cells == FIRE).astype(jnp.float32)
         nb = jnp.dot(fire, adj, preferred_element_type=jnp.float32)  # (B, C)
-    if u.dtype == jnp.uint8:
-        thr = jnp.zeros((B, C), jnp.uint8)
-        for k in range(1, 5):
-            thr = jnp.where(nb == float(k), jnp.uint8(t.ignite_u8[k]), thr)
-        ignite = (cells == TREE) & (u < thr)
-        burn_draw = u < jnp.uint8(t.burnout_u8)
-    else:
-        p_ig = jnp.zeros((B, C), jnp.float32)
-        for k in range(1, 5):
-            p_ig = jnp.where(nb == float(k), 1.0 - t.survival[k], p_ig)
-        ignite = (cells == TREE) & (u < p_ig)
-        burn_draw = u < t.p_burnout
+    p_ig = jnp.zeros((B, C), jnp.float32)
+    for k in range(1, 5):
+        p_ig = jnp.where(nb == float(k), 1.0 - t.survival[k], p_ig)
+    ignite = (cells == TREE) & (u < p_ig)
     n_ignited = jnp.sum(ignite.astype(jnp.int32), axis=1, keepdims=True)
 
     # Burnout shares the field: burnout reads u at FIRE cells, ignition at
     # TREE cells — disjoint, so the draws stay independent.
-    burnout = (cells == FIRE) & burn_draw
+    burnout = (cells == FIRE) & (u < t.p_burnout)
     cells = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells))
 
     reward = (
@@ -396,21 +399,12 @@ def wf_reset_math(t: WfTables, rnd, tril):
     masked picks: initial fires uniform among trees without replacement,
     agent spawns uniform among all cells without replacement (the same
     distributions as bernoulli + Gumbel-top-k + choice(replace=False)).
-    Compact form: a tuple (tree_field (B, C) uint8, picks (B, n_fires+A)
-    f32) — the bulk per-cell draw as raw bytes vs t.tree_u8 (1/256
-    quantization, see WfTables), picks stay f32 (they index up to C cells
-    and are only n_fires+A values).
-    Returns (cells (B, C), pos (B, 2*A)) in the int dtype of ``out_dtype``
-    (int32 default; the compact episode path asks for int8).
+    Returns (cells (B, C), pos (B, 2*A)).  (The in-loop episode headline
+    runs the trace-optimized :func:`wf_compact_ms` reset instead — same
+    distributions, argmax-pick form.)
     """
-    if isinstance(rnd, tuple):
-        tree_field, picks = rnd
-        trees = tree_field < jnp.uint8(t.tree_u8)
-        out_dtype = jnp.int8
-    else:
-        trees = rnd[:, : t.n_cells] < t.tree_density
-        picks = rnd[:, t.n_cells :]
-        out_dtype = jnp.int32
+    trees = rnd[:, : t.n_cells] < t.tree_density
+    picks = rnd[:, t.n_cells :]
     B = trees.shape[0]
     C = t.n_cells
     w = t.width
@@ -432,7 +426,172 @@ def wf_reset_math(t: WfTables, rnd, tril):
     for i in range(t.n_agents):
         _, idx, ps = ps.pick(picks[:, t.n_fires + i : t.n_fires + i + 1])
         pos_cols.extend([idx % w, idx // w])
-    return cells.astype(out_dtype), jnp.concatenate(pos_cols, axis=1)
+    return cells.astype(jnp.int32), jnp.concatenate(pos_cols, axis=1)
+
+
+def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
+    """K auto-resetting wildfire steps — the trace-optimized in-loop
+    episode form behind the TPU headline (ops/pallas_wildfire.py
+    ``rnd_mode="inloop"``).
+
+    Same transition/reset distributions as the packed ``_ms_math`` spec up
+    to three documented, profile-driven substitutions (the 2026-08-20
+    on-chip xplane trace showed the spec form VMEM-write bound with ~45%
+    of device time in per-step reset prefix sums + three (B,C)->(B,1)
+    reduces — artifacts/sol_report.json):
+
+    * Per-cell Bernoulli fields are raw uint8 bytes against the WfTables
+      ``*_u8`` thresholds (1/256 probability quantization, documented
+      there) and the board runs as int8 — RngBitGenerator output cannot
+      fuse into consumers, so byte fields/boards cut the stream and the
+      unrolled-loop temporaries 4x.
+    * The three per-step reduces (extinguished, ignited, terminated) and
+      the fresh-board tree count collapse into ONE bit-packed (B,C)
+      reduce (fields at bit offsets 0/3/12/21; max value < 2^30), with
+      the burning-cell count carried incrementally:
+      fires' = fires - extinguished - burnouts + ignitions.
+    * Reset picks drop the prefix-sum PickState machinery: initial fires
+      are iterated argmaxes of per-cell f32 uniforms masked to trees
+      (exactly uniform among trees without replacement, the Gumbel-max
+      argument with equal weights; rows with < n_fires trees place
+      fewer fires, as the spec does), and agent spawns are the
+      closed-form without-replacement index trick (draw r_a uniform on
+      [0, C-a), then shift past earlier picks in ascending order).
+    * Fresh boards are AMORTIZED: the spec rebuilds a discarded fresh
+      board every step for every env, but with 50-step episodes only
+      ~K/50 dones happen per env per K-step chunk — so this draws R=4
+      independent fresh boards per chunk and each done event consumes
+      the next one (indexed by the env's done count this chunk).
+      Distribution-exact unless an env finishes >= R+1 episodes inside
+      one chunk (needs >= 4 episodes of ~4 steps back to back,
+      P < 1e-8 per env-chunk; the overflow reuses board R-1).
+
+    Returns the ``_ms_math`` tuple: (cells int32, pos, sc, ext, run_ret,
+    rew_sum, ep_sum, eps).
+    """
+    B, C = cells.shape
+    A = t.n_agents
+    w = t.width
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    rew_sum = jnp.zeros((B, 1), jnp.float32)
+    ep_sum = jnp.zeros((B, 1), jnp.float32)
+    eps = jnp.zeros((B, 1), jnp.int32)
+    cells = cells.astype(jnp.int8)
+    # One reduce per chunk to seed the incremental burning-cell count.
+    fire_cnt = jnp.sum(
+        (cells == FIRE).astype(jnp.int32), axis=1, keepdims=True
+    )
+    SH_IG, SH_BO = 3, 12  # ignite/burnout bit offsets in the packed reduce
+
+    # ---- amortized fresh boards (see docstring) -------------------------
+    R = min(4, K)
+    r_cells, r_pos, r_fcnt = [], [], []
+    for r in range(R):
+        kr = jax.random.fold_in(key, K + r)
+        k_rf, k_rk, k_ru = jax.random.split(kr, 3)
+        tree_field = jax.random.bits(k_rf, (B, C), dtype=jnp.uint8)
+        fire_keys = jax.random.uniform(k_rk, (B, C))
+        spawn_u = jax.random.uniform(k_ru, (B, A))
+        trees_new = tree_field < jnp.uint8(t.tree_u8)
+        rc = jnp.where(trees_new, TREE, EMPTY).astype(jnp.int8)
+        m = trees_new
+        for _ in range(t.n_fires):
+            km = jnp.where(m, fire_keys, -1.0)
+            idx = jnp.argmax(km, axis=1)[:, None]
+            hit = (lane == idx) & m  # all-False when no trees remain
+            rc = jnp.where(hit, FIRE, rc)
+            m = m & ~hit
+        picked = []
+        for a in range(A):
+            ra = jnp.minimum(
+                (spawn_u[:, a : a + 1] * (C - a)).astype(jnp.int32),
+                C - a - 1,
+            )
+            if picked:
+                e = jnp.sort(jnp.concatenate(picked, axis=1), axis=1)
+                for q in range(len(picked)):
+                    ra = ra + (ra >= e[:, q : q + 1]).astype(jnp.int32)
+            picked.append(ra)
+        r_cells.append(rc)
+        r_pos.append(
+            jnp.concatenate(
+                [c for p in picked for c in (p % w, p // w)], axis=1
+            )
+        )
+        n_tr = jnp.sum(trees_new.astype(jnp.int32), axis=1, keepdims=True)
+        r_fcnt.append(jnp.minimum(n_tr, t.n_fires))
+    done_cnt = jnp.zeros((B, 1), jnp.int32)
+
+    for k in range(K):
+        kk = jax.random.fold_in(key, k)
+        k_a, k_p, k_f = jax.random.split(kk, 3)
+        acts = jax.random.randint(k_a, (B, A), 0, 5)
+        u_perm = jax.random.uniform(k_p, (B, 1))
+        field = jax.random.bits(k_f, (B, C), dtype=jnp.uint8)
+
+        xs, ys = _move_agents(t, pos, acts, u_perm)
+
+        occ = jnp.zeros((B, C), dtype=bool)
+        for i in range(A):
+            occ = occ | (lane == ys[i] * w + xs[i])
+        put_out = occ & (cells == FIRE)
+        cells1 = jnp.where(put_out, BURNT, cells)
+
+        nb = _neighbor_fires(t, cells1).astype(jnp.uint8)
+        thr = jnp.zeros((B, C), jnp.uint8)
+        for n in range(1, 5):
+            thr = jnp.where(nb == n, jnp.uint8(t.ignite_u8[n]), thr)
+        ignite = (cells1 == TREE) & (field < thr)
+        burnout = (cells1 == FIRE) & (field < jnp.uint8(t.burnout_u8))
+        cells2 = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells1))
+
+        combined = (
+            put_out.astype(jnp.int32)
+            + ignite.astype(jnp.int32) * (1 << SH_IG)
+            + burnout.astype(jnp.int32) * (1 << SH_BO)
+        )
+        s = jnp.sum(combined, axis=1, keepdims=True)
+        n_ext = s & 7  # put_out <= n_agents <= 4
+        n_ig = (s >> SH_IG) & 511
+        n_bo = s >> SH_BO
+        fire_cnt = fire_cnt - n_ext - n_bo + n_ig
+
+        reward = (
+            t.ext_reward * n_ext.astype(jnp.float32)
+            - t.burn_penalty * n_ig.astype(jnp.float32)
+            - t.step_penalty
+        )
+        sc2 = sc + 1
+        done = (fire_cnt == 0) | (sc2 >= t.max_steps)  # (B,1) bool
+
+        run_ret2 = run_ret + reward
+        rew_sum = rew_sum + reward
+        ep_sum = ep_sum + jnp.where(done, run_ret2, 0.0)
+        eps = eps + done.astype(jnp.int32)
+        run_ret = jnp.where(done, 0.0, run_ret2)
+        ext2 = ext + n_ext
+
+        # Next unconsumed amortized fresh board for this env (see above).
+        j = jnp.minimum(done_cnt, R - 1)
+        rcells, rpos, rfc = r_cells[0], r_pos[0], r_fcnt[0]
+        for r in range(1, R):
+            sel = j == r
+            rcells = jnp.where(sel, r_cells[r], rcells)
+            rpos = jnp.where(sel, r_pos[r], rpos)
+            rfc = jnp.where(sel, r_fcnt[r], rfc)
+        done_cnt = done_cnt + done.astype(jnp.int32)
+
+        pos2 = jnp.concatenate(
+            [c for i in range(A) for c in (xs[i], ys[i])], axis=1
+        )
+        cells = jnp.where(done, rcells, cells2)
+        pos = jnp.where(done, rpos, pos2)
+        sc = jnp.where(done, 0, sc2)
+        ext = jnp.where(done, 0, ext2)
+        fire_cnt = jnp.where(done, rfc, fire_cnt)
+    return (
+        cells.astype(jnp.int32), pos, sc, ext, run_ret, rew_sum, ep_sum, eps
+    )
 
 
 def make_wildfire(cfg: WildfireConfig) -> WildfireFns:

@@ -100,23 +100,13 @@ def wildfire_step_slab(t: WfTables, cells, pos, acts, rnd, adj, interpret=None):
     )(cells, pos, acts, rnd, adj)
 
 
-def _ms_math(
-    t: WfTables, K, cells, pos, sc, ext, run_ret, packed, adj, tril,
-    compact=False,
-):
+def _ms_math(t: WfTables, K, cells, pos, sc, ext, run_ret, packed, adj, tril):
     """K wildfire steps with per-env auto-reset — the multi-step kernel
     body AND its pure-jax spec (bit-compared in tests).
 
     packed: (B, K*(A + R_step + R_reset)) — per step A float-cast int
     actions, then the step uniforms, then the reset uniforms.
-    compact (in-loop RNG only): draw the two per-cell fields as raw uint8
-    bytes against the WfTables u8 thresholds and run the board as int8 —
-    the wildfire stream is ~520 draws/env/step and RngBitGenerator output
-    cannot fuse into consumers, so byte fields cut the family's dominant
-    HBM traffic 4x (distribution shift <= the documented 1/256 threshold
-    quantization; artifacts/inloop_rng.md).
-    Returns (cells, pos, sc, ext, run_ret, rew_sum, ep_sum, eps);
-    cells comes back in the caller's int32 even when compact.
+    Returns (cells, pos, sc, ext, run_ret, rew_sum, ep_sum, eps).
     """
     B = cells.shape[0]
     A = t.n_agents
@@ -126,12 +116,6 @@ def _ms_math(
     rew_sum = jnp.zeros((B, 1), jnp.float32)
     ep_sum = jnp.zeros((B, 1), jnp.float32)
     eps = jnp.zeros((B, 1), jnp.int32)
-    in_dtype = cells.dtype
-    if compact:
-        assert not isinstance(packed, tuple) and packed.ndim <= 1, (
-            "compact mode is the in-loop RNG form"
-        )
-        cells = cells.astype(jnp.int8)
     for k in range(K):
         if isinstance(packed, tuple):
             # XLA path, pre-drawn: the (acts, rnd) draws unconcatenated —
@@ -152,22 +136,10 @@ def _ms_math(
             # HBM.  Distribution-identical to pre-drawing (different
             # stream layout; SURVEY.md §2.3 parity bar).
             kk = jax.random.fold_in(packed, k)
-            if compact:
-                k_a, k_p, k_f, k_rf, k_rp = jax.random.split(kk, 5)
-                acts = jax.random.randint(k_a, (B, A), 0, 5)
-                rnd_step = (
-                    jax.random.uniform(k_p, (B, 1)),
-                    jax.random.bits(k_f, (B, t.n_cells), dtype=jnp.uint8),
-                )
-                rnd_reset = (
-                    jax.random.bits(k_rf, (B, t.n_cells), dtype=jnp.uint8),
-                    jax.random.uniform(k_rp, (B, t.n_fires + A)),
-                )
-            else:
-                k_a, k_s, k_rr = jax.random.split(kk, 3)
-                acts = jax.random.randint(k_a, (B, A), 0, 5)
-                rnd_step = jax.random.uniform(k_s, (B, Rs))
-                rnd_reset = jax.random.uniform(k_rr, (B, Rr))
+            k_a, k_s, k_rr = jax.random.split(kk, 3)
+            acts = jax.random.randint(k_a, (B, A), 0, 5)
+            rnd_step = jax.random.uniform(k_s, (B, Rs))
+            rnd_reset = jax.random.uniform(k_rr, (B, Rr))
         else:
             base = k * stride
             acts = packed[:, base : base + A].astype(jnp.int32)
@@ -192,7 +164,7 @@ def _ms_math(
         pos = jnp.where(done, rpos, pos2)
         sc = jnp.where(done, 0, sc2)
         ext = jnp.where(done, 0, ext2)
-    return cells.astype(in_dtype), pos, sc, ext, run_ret, rew_sum, ep_sum, eps
+    return cells, pos, sc, ext, run_ret, rew_sum, ep_sum, eps
 
 
 @functools.partial(jax.jit, static_argnums=(0, 6, 7))
@@ -279,8 +251,12 @@ def make_wildfire_episode_rollout(
     tril_x = None
 
     draw_packed = use_kernel or rnd_mode == "packed"
-    # In-loop XLA path: u8 byte fields + int8 board (see _ms_math compact).
-    from gym_multigrid_tpu.envs.wildfire import compact_supported
+    # In-loop XLA path: the trace-optimized u8-field/int8-board chunk
+    # (envs.wildfire.wf_compact_ms) unless a threshold has no u8 form.
+    from gym_multigrid_tpu.envs.wildfire import (
+        compact_supported,
+        wf_compact_ms,
+    )
 
     compact = (not draw_packed) and compact_supported(t)
 
@@ -309,6 +285,10 @@ def make_wildfire_episode_rollout(
             cells, pos, sc, ext, run_ret, rew, ep_sum, eps = (
                 wildfire_multistep_slab(t, *args, K, interpret, packed)
             )
+        elif compact:
+            cells, pos, sc, ext, run_ret, rew, ep_sum, eps = wf_compact_ms(
+                t, K, *args, key
+            )
         else:
             # In-loop RNG (see _ms_math) unless rnd_mode="packed": the
             # uniform stream stays fused out of HBM.
@@ -321,7 +301,6 @@ def make_wildfire_episode_rollout(
                 ),
                 adj_x,
                 tril_x,
-                compact=compact,
             )
         states = WildfireState(
             cells=cells.reshape(B, h, w),

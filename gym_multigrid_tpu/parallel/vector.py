@@ -213,11 +213,18 @@ def make_collect_batch(
 
 
 def make_ctf_batch(
-    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+    cfg,
+    num_envs: int,
+    auto_reset: bool = True,
+    use_pallas: bool = False,
+    partial_obs_view: int | None = None,
 ) -> BatchedEnv:
     """Batched CtF with in-graph scripted red policies; actions are the blue
-    team's, shape (num_envs, num_blue)."""
-    from gym_multigrid_tpu.envs.ctf import make_ctf
+    team's, shape (num_envs, num_blue).  partial_obs_view=V swaps the
+    configured observation for the batched agent-FOV pipeline
+    (envs/partial_obs.py): per-env observations become
+    (n_agents, V, V, 3) uint8."""
+    from gym_multigrid_tpu.envs.ctf import make_ctf, make_ctf_partial_encode
 
     fns = make_ctf(cfg)
 
@@ -230,10 +237,21 @@ def make_ctf_batch(
     from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_step_batch
 
     step_batch = make_ctf_step_batch(cfg, use_kernel=use_pallas)
+    encode_one = fns.obs_fn
+    if partial_obs_view is not None:
+        encode_one = make_ctf_partial_encode(cfg, partial_obs_view)
+        raw_step_batch = step_batch
+
+        def step_batch(states, actions):
+            # The slab transition computes the configured obs; swap in
+            # the FOV pipeline on the post-step (pre-auto-reset) states.
+            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
+            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+
     return BatchedEnv(
         reset_one=fns.reset_fn,
         step_one=step_one,
-        encode_one=fns.obs_fn,
+        encode_one=encode_one,
         num_envs=num_envs,
         auto_reset=auto_reset,
         step_batch=step_batch,
@@ -243,22 +261,42 @@ def make_ctf_batch(
 
 
 def make_maze_batch(
-    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+    cfg,
+    num_envs: int,
+    auto_reset: bool = True,
+    use_pallas: bool = False,
+    partial_obs_view: int | None = None,
 ) -> BatchedEnv:
-    from gym_multigrid_tpu.envs.maze import make_maze, make_maze_step_batch
+    """partial_obs_view=V swaps the configured observation for the batched
+    agent-FOV pipeline: per-env observations become (1, V, V, 3) uint8."""
+    from gym_multigrid_tpu.envs.maze import (
+        make_maze,
+        make_maze_partial_encode,
+        make_maze_step_batch,
+    )
 
     fns = make_maze(cfg)
 
     def step_one(state, action):
         return fns.step_fn(state, action.reshape(()))
 
+    step_batch = make_maze_step_batch(cfg, use_pallas=use_pallas)
+    encode_one = fns.obs_fn
+    if partial_obs_view is not None:
+        encode_one = make_maze_partial_encode(cfg, partial_obs_view)
+        raw_step_batch = step_batch
+
+        def step_batch(states, actions):
+            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
+            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+
     return BatchedEnv(
         reset_one=fns.reset_fn,
         step_one=step_one,
-        encode_one=fns.obs_fn,
+        encode_one=encode_one,
         num_envs=num_envs,
         auto_reset=auto_reset,
-        step_batch=make_maze_step_batch(cfg, use_pallas=use_pallas),
+        step_batch=step_batch,
         num_actions=5,
         actions_shape=(),
     )

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import contextlib
+import os
 from dataclasses import dataclass
 
 import jax
@@ -79,3 +80,69 @@ def state_nbytes(tree) -> int:
     return sum(
         leaf.size * leaf.dtype.itemsize for leaf in jax.tree_util.tree_leaves(tree)
     )
+
+
+def summarize_xplane(trace_dir: str, top: int = 5):
+    """Op-level summary of a :func:`trace` capture (xplane protobufs).
+
+    Parses the device timeline with the installed ``xprof`` converter and
+    returns a dict with the observed totals the SOL record needs:
+
+    * ``total_device_ms`` — sum of per-op self time on the device
+    * ``bound_by`` — {resource: fraction of device time} as classified by
+      the profiler's per-op roofline (VMEM Read/Write, HBM, Compute, ...)
+    * ``top_ops`` — the ``top`` largest ops by self time: name, category,
+      fraction, the profiler's bound-by label, and the framework source
+      line the op was traced from
+
+    Returns None if no xplane file exists or xprof is unavailable — the
+    caller records estimates-only in that case.
+    """
+    import glob
+    import json as _json
+    import re
+
+    xs = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                          recursive=True))
+    if not xs:
+        return None
+    try:
+        from xprof.convert import raw_to_tool_data as _rtd
+
+        data, _ = _rtd.xspace_to_tool_data([xs[-1]], "hlo_stats", {})
+    except Exception:
+        return None
+    d = _json.loads(data)
+    rows = d.get("rows", [])
+    if not rows:
+        return None
+
+    def v(r, i):
+        return r["c"][i].get("v")
+
+    # hlo_stats columns (xprof 2.21): 2=category, 3=op name, 6=occurrences,
+    # 9=total self time (us), 21=bound by, 25=source info (html-wrapped).
+    total = sum(v(r, 9) for r in rows) or 1.0
+    bound = {}
+    for r in rows:
+        bound[v(r, 21)] = bound.get(v(r, 21), 0.0) + v(r, 9)
+    rows_s = sorted(rows, key=lambda r: -v(r, 9))
+    top_ops = [
+        {
+            "op": v(r, 3),
+            "category": v(r, 2),
+            "occurrences": int(v(r, 6)),
+            "time_fraction": round(v(r, 9) / total, 4),
+            "bound_by": v(r, 21),
+            "source": re.sub(r"<[^>]+>", "", str(v(r, 25))).strip(),
+        }
+        for r in rows_s[:top]
+    ]
+    return {
+        "total_device_ms": round(total / 1e3, 3),
+        "bound_by": {
+            k: round(t / total, 4)
+            for k, t in sorted(bound.items(), key=lambda kv: -kv[1])
+        },
+        "top_ops": top_ops,
+    }

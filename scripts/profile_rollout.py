@@ -160,11 +160,15 @@ def main(argv=None) -> int:
     states, m = run(states, mk_key(1))  # compile + warm
     float(jax.device_get(m["reward_sum"]))
 
+    observed = None
     if args.trace:
         with trace(args.trace):
             states, m = run(states, mk_key(2))
             float(jax.device_get(m["reward_sum"]))
         print(f"trace written to {args.trace} (load in TensorBoard)")
+        from gym_multigrid_tpu.utils.profiling import summarize_xplane
+
+        observed = summarize_xplane(args.trace)
 
     # Honest timing: device_get of the final chained metric (NOT
     # block_until_ready, which returns early on the remote-tunnel backend
@@ -216,6 +220,11 @@ def main(argv=None) -> int:
         ),
         "chip": args.chip,
     }
+    if observed is not None:
+        # Observed device timeline (xprof over the jax.profiler xplane):
+        # per-op self time + the profiler's own per-op roofline labels —
+        # the evidence behind the binding-resource classification.
+        rec["observed_profile"] = observed
     if args.json:
         print(json.dumps(rec))
     else:

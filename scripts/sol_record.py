@@ -56,6 +56,7 @@ def main(argv=None) -> int:
             "--steps", str(args.steps),
             "--path", "xla-ms",
             "--chip", args.chip,
+            "--trace", f"/tmp/sol_trace_{family}",
             "--json",
         ] + (["--cpu"] if args.cpu else [])
         env = dict(os.environ)
@@ -77,24 +78,48 @@ def main(argv=None) -> int:
         # roofline; otherwise the limiter is VPU compute / scheduling, and
         # the cost-model flops+bytes numbers quantify how far from EITHER
         # roofline it runs.
-        frac = max(rec["sol_fraction"], rec.get("xla_traffic_sol_fraction", 0))
-        rec["binding_resource"] = (
-            "HBM bandwidth" if frac > 0.3 else
-            "compute/scheduling (HBM traffic is not the limiter: "
-            f"XLA cost model moves {rec.get('achieved_hbm_gb_per_s', '?')} "
-            "GB/s of an 819 GB/s chip)"
-        )
+        obs = rec.get("observed_profile")
+        if obs and obs.get("bound_by"):
+            # OBSERVED classification: the profiler labels every op with
+            # the resource its roofline hits; the dominant one over the
+            # device timeline is the binding resource, by measurement.
+            top_res, top_frac = next(iter(obs["bound_by"].items()))
+            rec["binding_resource"] = (
+                f"{top_res} ({top_frac:.0%} of observed device time; "
+                "see observed_profile.top_ops)"
+            )
+        else:
+            frac = max(
+                rec["sol_fraction"], rec.get("xla_traffic_sol_fraction", 0)
+            )
+            rec["binding_resource"] = (
+                "HBM bandwidth" if frac > 0.3 else
+                "compute/scheduling (HBM traffic is not the limiter: XLA "
+                f"cost model moves {rec.get('achieved_hbm_gb_per_s', '?')} "
+                "GB/s of an 819 GB/s chip) — estimate only, no trace"
+            )
         records[family] = rec
+
+    import datetime
 
     payload = {
         "chip": args.chip,
         "batch": args.batch,
+        "run_date": datetime.date.today().isoformat(),
+        "harness": (
+            "honest timing v2 (fresh subprocess per family, device_get "
+            "sync, >=1 s windows — artifacts/measurement.md) + observed "
+            "xplane profile per family (utils/profiling.summarize_xplane)"
+        ),
         "note": (
             "designed-traffic model: state planes cross HBM once per "
             "multi-step chunk + the pre-drawn uniform stream; the in-loop "
             "RNG paths eliminate the stream (round 3), so fractions >1 "
             "mean the program runs beyond what the pre-drawn design could "
-            "ever reach — see artifacts/inloop_rng.md"
+            "ever reach — see artifacts/inloop_rng.md.  Throughputs here "
+            "are this run's own measurements; README headline rows come "
+            "from separate bench_all runs with documented ±10% "
+            "run-to-run variance on the tunnel backend."
         ),
         "families": records,
     }
