@@ -458,13 +458,16 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
       closed-form without-replacement index trick (draw r_a uniform on
       [0, C-a), then shift past earlier picks in ascending order).
     * Fresh boards are AMORTIZED: the spec rebuilds a discarded fresh
-      board every step for every env, but with 50-step episodes only
-      ~K/50 dones happen per env per K-step chunk — so this draws R=4
-      independent fresh boards per chunk and each done event consumes
-      the next one (indexed by the env's done count this chunk).
-      Distribution-exact unless an env finishes >= R+1 episodes inside
-      one chunk (needs >= 4 episodes of ~4 steps back to back,
-      P < 1e-8 per env-chunk; the overflow reuses board R-1).
+      board every step for every env, but dones are rare (measured
+      0.023/env-step at the defaults) — so this draws R=4 independent
+      fresh boards per chunk and each done event consumes the next one
+      (indexed by the env's done count this chunk).  Distribution-exact
+      unless an env finishes >= R+1 episodes inside one chunk (the
+      overflow reuses board R-1).  Measured multi-done rates per
+      16-step env-chunk (51,200 chunks, defaults): >=2 dones 1.0e-2,
+      >=3 dones 2.9e-4, >=4 dones 0 observed (<~6e-5; the ~35x decay
+      per extra done extrapolates P(>=5) ~ 2e-7, far below the 1/256
+      threshold quantization above).
 
     Returns the ``_ms_math`` tuple: (cells int32, pos, sc, ext, run_ret,
     rew_sum, ep_sum, eps).
@@ -481,6 +484,11 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
     fire_cnt = jnp.sum(
         (cells == FIRE).astype(jnp.int32), axis=1, keepdims=True
     )
+    # Spread stencil as ONE bf16 MXU matmul per step: the lane-shift form
+    # (4 pads + masks + adds) was 40% of device time on the VPU with the
+    # MXU idle (2026-08-20 xplane trace); fire_row @ adjacency is exact in
+    # bf16 (0/1 inputs, counts <= 4) and overlaps with the VPU work.
+    adj_bf16 = jnp.asarray(adjacency(t), dtype=jnp.bfloat16)
     SH_IG, SH_BO = 3, 12  # ignite/burnout bit offsets in the packed reduce
 
     # ---- amortized fresh boards (see docstring) -------------------------
@@ -489,8 +497,10 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
     for r in range(R):
         kr = jax.random.fold_in(key, K + r)
         k_rf, k_rk, k_ru = jax.random.split(kr, 3)
-        tree_field = jax.random.bits(k_rf, (B, C), dtype=jnp.uint8)
-        fire_keys = jax.random.uniform(k_rk, (B, C))
+        # (C, B) draws + transpose: free relabel into the batch-minor
+        # layout the loop arrays use (see the field draw below).
+        tree_field = jax.random.bits(k_rf, (C, B), dtype=jnp.uint8).T
+        fire_keys = jax.random.uniform(k_rk, (C, B)).T
         spawn_u = jax.random.uniform(k_ru, (B, A))
         trees_new = tree_field < jnp.uint8(t.tree_u8)
         rc = jnp.where(trees_new, TREE, EMPTY).astype(jnp.int8)
@@ -527,7 +537,11 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
         k_a, k_p, k_f = jax.random.split(kk, 3)
         acts = jax.random.randint(k_a, (B, A), 0, 5)
         u_perm = jax.random.uniform(k_p, (B, 1))
-        field = jax.random.bits(k_f, (B, C), dtype=jnp.uint8)
+        # Drawn transposed: rng output layout has the minor axis last, but
+        # every (B, C) loop array here is laid out batch-minor — a (C, B)
+        # draw + transpose relabels for free where a (B, C) draw paid a
+        # full-tensor layout copy per step (measured 0.55 ms/launch).
+        field = jax.random.bits(k_f, (C, B), dtype=jnp.uint8).T
 
         xs, ys = _move_agents(t, pos, acts, u_perm)
 
@@ -537,10 +551,13 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
         put_out = occ & (cells == FIRE)
         cells1 = jnp.where(put_out, BURNT, cells)
 
-        nb = _neighbor_fires(t, cells1).astype(jnp.uint8)
+        fire_row = (cells1 == FIRE).astype(jnp.bfloat16)
+        nb = jnp.dot(
+            fire_row, adj_bf16, preferred_element_type=jnp.float32
+        )
         thr = jnp.zeros((B, C), jnp.uint8)
         for n in range(1, 5):
-            thr = jnp.where(nb == n, jnp.uint8(t.ignite_u8[n]), thr)
+            thr = jnp.where(nb == float(n), jnp.uint8(t.ignite_u8[n]), thr)
         ignite = (cells1 == TREE) & (field < thr)
         burnout = (cells1 == FIRE) & (field < jnp.uint8(t.burnout_u8))
         cells2 = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells1))
@@ -572,6 +589,9 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
         ext2 = ext + n_ext
 
         # Next unconsumed amortized fresh board for this env (see above).
+        # An R-way where-chain: a take_along_axis/gather form measured 3x
+        # SLOWER end to end (TPU scalarizes the per-row gather); the
+        # chain's R board reads per step stay vectorized.
         j = jnp.minimum(done_cnt, R - 1)
         rcells, rpos, rfc = r_cells[0], r_pos[0], r_fcnt[0]
         for r in range(1, R):
