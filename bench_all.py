@@ -63,7 +63,7 @@ BASELINES = {
 # sweep).  The kernels are capped by scoped VMEM, which grows with
 # unroll length (~16 MB limit), so they keep shallower chunks.
 MS_CHUNKS = {
-    "xla-ms": {"collect": 25, "ctf": 50, "maze": 100, "wildfire": 16},
+    "xla-ms": {"collect": 25, "ctf": 50, "maze": 100, "wildfire": 24},
     "pallas-ms": {"collect": 15, "ctf": 25, "maze": 25, "wildfire": 8},
 }
 MS_MODE = {

@@ -464,10 +464,12 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
       (indexed by the env's done count this chunk).  Distribution-exact
       unless an env finishes >= R+1 episodes inside one chunk (the
       overflow reuses board R-1).  Measured multi-done rates per
-      16-step env-chunk (51,200 chunks, defaults): >=2 dones 1.0e-2,
-      >=3 dones 2.9e-4, >=4 dones 0 observed (<~6e-5; the ~35x decay
-      per extra done extrapolates P(>=5) ~ 2e-7, far below the 1/256
-      threshold quantization above).
+      env-chunk at the defaults: 16-step chunks (51,200 sampled)
+      >=2 dones 1.0e-2, >=3 2.9e-4, >=4 0 observed; 24-step chunks
+      (40,960 sampled, the shipping chunk) >=2 2.6e-2, >=3 6.6e-4,
+      >=4 0 observed (<~7e-5; the ~40x decay per extra done
+      extrapolates P(>=5) ~ 4e-7, far below the 1/256 threshold
+      quantization above).
 
     Returns the ``_ms_math`` tuple: (cells int32, pos, sc, ext, run_ret,
     rew_sum, ep_sum, eps).

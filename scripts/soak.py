@@ -56,14 +56,26 @@ def main(argv=None) -> int:
     states, m = run(states, mk(1))  # compile + warm
     float(jax.device_get(m["reward_sum"]))
 
+    # Each window is enough chained reps for >= 2 s of device work with
+    # ONE device_get sync: a single-rep window is dominated by the
+    # ~20-40 ms tunnel round-trip (the round-3 soak's mistake — its
+    # 400-step single-rep windows read 30% under the real rate).
+    t0 = time.perf_counter()
+    for r in range(2):
+        states, m = run(states, mk(1000 + r))
+    float(jax.device_get(m["reward_sum"]))
+    per_rep = max((time.perf_counter() - t0) / 2, 1e-4)
+    reps = max(2, int(2.0 / per_rep) + 1)
+
     rates = []
     t_start = time.perf_counter()
     for w in range(args.windows):
         t0 = time.perf_counter()
-        states, m = run(states, mk(2 + w))
+        for r in range(reps):
+            states, m = run(states, mk(2 + w * reps + r))
         float(jax.device_get(m["reward_sum"]))
         dt = time.perf_counter() - t0
-        rates.append(args.batch * steps * agents / dt)
+        rates.append(args.batch * steps * reps * agents / dt)
     total_s = time.perf_counter() - t_start
 
     rates_sorted = sorted(rates)
@@ -72,8 +84,9 @@ def main(argv=None) -> int:
     last_third = sum(rates[-third:]) / third
     rec = {
         "command": (
-            f"{args.windows} consecutive {steps}-step timed windows of the "
-            f"{args.family} xla-ms headline (batch {args.batch}) on "
+            f"{args.windows} consecutive timed windows ({reps} chained "
+            f"{steps}-step launches each, one device_get sync per window) "
+            f"of the {args.family} xla-ms headline (batch {args.batch}) on "
             f"{jax.default_backend()}, {total_s:.0f} s sustained load"
         ),
         "run_date": datetime.date.today().isoformat(),

@@ -83,18 +83,28 @@ def test_sharded_episode_rollout_metrics_replicated():
 def test_weak_scaling_ppo_train_path_on_mesh():
     # The FULL PPO train step sharded over the mesh — the weak-scaling
     # instrument for BASELINE's multi-host RL half.
-    results, eff = run_weak_scaling(
-        family="collect",
-        per_device_envs=16,
-        steps=8,
-        reps=1,
-        points=[1, 2],
-        verbose=False,
-        path="ppo-train",
-    )
-    assert results[2]["envs"] == 32
-    assert results[1]["agent_steps_per_sec"] > 0
-    # efficiency is a ratio of positive rates, so >0 is vacuous; a
-    # resharding bug that serializes the step would crater it far below
-    # this loose floor (2 virtual devices on a 4-core host)
-    assert 0.2 < eff < 1.5, eff
+    #
+    # The efficiency floor is a RELATIVE-timing assertion on a shared
+    # host, so a transient CPU-load spike during the 1-device or 2-device
+    # window can crater the ratio without any resharding bug (observed
+    # once when a concurrent compile pinned the core).  One re-measure
+    # before failing keeps the regression guard without the flake.
+    last = None
+    for attempt in range(2):
+        results, eff = run_weak_scaling(
+            family="collect",
+            per_device_envs=16,
+            steps=8,
+            reps=1,
+            points=[1, 2],
+            verbose=False,
+            path="ppo-train",
+        )
+        assert results[2]["envs"] == 32
+        assert results[1]["agent_steps_per_sec"] > 0
+        last = eff
+        # a resharding bug that serializes the step would crater eff far
+        # below this loose floor (2 virtual devices on a shared host)
+        if 0.2 < eff < 1.5:
+            return
+    raise AssertionError(f"weak-scaling efficiency out of range twice: {last}")
