@@ -94,12 +94,15 @@ PRNG = {
 
 # Prefix-sum form for the respawn picks inside the xla-ms step math
 # (collect only — the other families' picks start from full masks or use
-# the stencil form).  "matmul" = one (B,C)x(C,C) f32 MXU matmul per pick
+# the stencil form).  "matmul" = one (B,C)x(C,C) MXU matmul per pick
 # instead of log2(C) shifted integer adds: XLA's cost model drops from
 # 3859 to 1167 bytes/env-step and honest fresh-process throughput gains
-# 16% at batch 8192 (454.7M -> 528.8M agent-steps/s).  Bit-identical
+# 16% at batch 8192 (454.7M -> 528.8M agent-steps/s).  Round 4: the
+# 2026-08-20 xplane trace showed the f32 matmul at 60% of device time on
+# the bf16-native MXU — "matmul_bf16" halves the operand/accumulator
+# width (counts <= C <= 256 stay exact integers in bf16).  Bit-identical
 # outputs (tests/test_xla_ms.py).
-MS_PREFIX = {"collect": "matmul"}
+MS_PREFIX = {"collect": "matmul_bf16"}
 
 # Headline path per family; the rest are measured with --all-paths.
 HEADLINE = {

@@ -87,7 +87,10 @@ def _prefix_counts(mask, tril):
             mask.astype(tril.dtype), tril,
             preferred_element_type=tril.dtype,
         ).astype(jnp.int32)
-    return cum, jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)
+    # The total count IS the last lane of the inclusive prefix sum — a
+    # separate sum-reduce of the mask was 17% of collect's device time
+    # (2026-08-20 xplane trace) for a value already computed.
+    return cum, cum[:, -1:]
 
 
 def _step_math(t: _Tables, go, gc, gs, pos, acts, rnd, rects=None, tril=None):
@@ -567,7 +570,10 @@ def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
     picked = [jnp.full((B, 1), -1, dtype=jnp.int32) for _ in range(n_agents)]
     pos_cols = [pos[:, 2 * i : 2 * i + 2] for i in range(n_agents)]
     agent_colors = np.array(t.agent_colors, dtype=np.int32)
-    obj_mask = jnp.int32(15)
+    # Weak-typed mask: keeps plane ops in p's dtype (the XLA episode
+    # path runs the packed plane as int16 — obj 2b | color 4b | slot
+    # 5b fit in 11 bits, and the one-hot gather-sum cannot overflow).
+    obj_mask = 15
 
     for slot in range(n_agents):
         if n_agents == 2:
@@ -633,11 +639,11 @@ def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
                 t.ball
                 | (ball_color << 4)
                 | ((t.respawn_slot_base + ball_color) << 8)
-            )
+            ).astype(p.dtype)
             p = jnp.where(hit_r & is_ball, ball_p, p)
 
         # move (collect_game.py:174-181); vacated cell has no slot/color
-        agent_p = t.agent | (my_color << 4)
+        agent_p = jnp.asarray(t.agent | (my_color << 4), p.dtype)
         p = jnp.where(hit_n & do_move, agent_p, p)
         p = jnp.where(hit_o & do_move, t.empty, p)
 
@@ -690,7 +696,10 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
     # a third of the slab working set / chunk-boundary traffic of three
     # separate planes, and most per-step updates collapse to one select.
     # Pack/unpack only at the chunk boundary.  Output-identical to K
-    # _step_math steps (pinned in tests/test_pallas.py).
+    # _step_math steps (pinned in tests/test_pallas.py).  (An int16 plane
+    # was tried and measured 7% SLOWER on-chip: sub-32-bit types pay
+    # (16,128)-tile relayouts that outweigh the byte savings at C=100 —
+    # same lesson as wildfire's int8 boards needing layout-free draws.)
     p = pack_planes(go, gc, gs)
     for k in range(K):
         if packed.ndim <= 1:
