@@ -72,6 +72,13 @@ MS_MODE = {
     "maze": "packed",
     "wildfire": "inloop",
 }
+# Steps per run() call (one host dispatch each; chunks scan inside).
+# Maze's 13x13 state makes its device time per dispatch the shortest of
+# the four (~1 ms at the headline rate), so tunnel dispatch-latency
+# jitter dominated its measurements — observed 366M-901M across five
+# same-code runs on 2026-08-20.  1000 steps/dispatch amortizes the
+# jitter 5x; other families already run >=2 ms/dispatch at 200.
+MS_STEPS = {"collect": 200, "ctf": 200, "maze": 1000, "wildfire": 200}
 # Bit generator for the rollout randomness, per family (paired
 # fresh-process A/B on the real chip, artifacts/rng_impl.md).  "rbg"
 # rides XLA's native RngBitGenerator — ~3.5x threefry's bulk uniform
@@ -280,7 +287,10 @@ def main(argv=None):
     # 200 steps per run call: long enough that dispatch rides behind the
     # device (and maze's 200-step unroll fits one launch), short enough
     # that one --all-paths sweep stays under ~10 min warm.
-    p.add_argument("--steps", type=int, default=200)
+    p.add_argument(
+        "--steps", type=int, default=None,
+        help="steps per dispatch (default: per-family MS_STEPS)",
+    )
     p.add_argument("--reps", type=int, default=4)
     p.add_argument(
         "--all-paths",
@@ -320,10 +330,11 @@ def main(argv=None):
                 sys.executable, os.path.abspath(__file__),
                 "--families", family,
                 "--batch", str(args.batch),
-                "--steps", str(args.steps),
                 "--reps", str(args.reps),
                 "--prng", args.prng,
             ]
+            if args.steps is not None:
+                sub += ["--steps", str(args.steps)]
             if args.all_paths:
                 sub.append("--all-paths")
             if args.cpu:
@@ -343,7 +354,7 @@ def main(argv=None):
     on_tpu = jax.default_backend() not in ("cpu",)
     lines = []
     for family in args.families.split(","):
-        steps = align_steps(family, args.steps)
+        steps = align_steps(family, args.steps or MS_STEPS[family])
         headline = HEADLINE[family] if on_tpu else "xla-step"
         paths = [headline]
         if args.all_paths:

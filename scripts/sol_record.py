@@ -48,12 +48,18 @@ def main(argv=None) -> int:
         # multiple large executables share the device in one client
         # (measured: wildfire xla-ms 13.2B standalone vs 63M after other
         # families' programs loaded — artifacts/sol_report.json notes).
+        # Per-family steps-per-dispatch (bench_all.MS_STEPS): maze needs
+        # long chains or tunnel dispatch jitter dominates (366M-901M
+        # spread observed at 200 steps/dispatch).
+        from bench_all import MS_STEPS
+
+        fam_steps = max(args.steps, MS_STEPS.get(family, args.steps))
         cmd = [
             sys.executable,
             os.path.join(REPO, "scripts", "profile_rollout.py"),
             "--family", family,
             "--batch", str(args.batch),
-            "--steps", str(args.steps),
+            "--steps", str(fam_steps),
             "--path", "xla-ms",
             "--chip", args.chip,
             "--trace", f"/tmp/sol_trace_{family}",
