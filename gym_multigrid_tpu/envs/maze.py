@@ -417,12 +417,18 @@ def maze_reset_math(t: MazeTables, rnd, bg):
     j = jnp.minimum((rnd * n_bg).astype(jnp.int32), n_bg - 1)
     # one-hot reduce instead of an unrolled per-cell select chain (same
     # values, O(1) ops instead of O(n_bg) — matters inside unrolled
-    # multi-step kernels)
+    # multi-step kernels).  Both coordinates ride ONE reduce as a packed
+    # x|y<<8 word (coords < 256): this reset runs discarded on every
+    # not-done step of the episode paths, and its two reduces were 17%
+    # of maze device time in the 2026-08-20 xplane profile.
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_bg), 1)
     hit = lane == j
-    p0 = jnp.sum(jnp.where(hit, bg[0][None, :], 0), axis=1, keepdims=True)
-    p1 = jnp.sum(jnp.where(hit, bg[1][None, :], 0), axis=1, keepdims=True)
-    return jnp.concatenate([p0, p1], axis=1), jnp.full_like(j, 3)
+    pk = bg[0] | (bg[1] << 8)  # (n_bg,) static per config
+    p = jnp.sum(jnp.where(hit, pk[None, :], 0), axis=1, keepdims=True)
+    return (
+        jnp.concatenate([p & 255, p >> 8], axis=1),
+        jnp.full_like(j, 3),
+    )
 
 
 def make_maze_step_batch(cfg: MazeConfig, use_pallas: bool = False):

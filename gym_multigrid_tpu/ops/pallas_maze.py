@@ -87,7 +87,15 @@ def _maze_ms_math(t: MazeTables, K, pos, dirs, sc, run_ret, packed, cells, bg):
     ep_sum = jnp.zeros((B, 1), jnp.float32)
     eps = jnp.zeros((B, 1), jnp.int32)
     for k in range(K):
-        if packed.ndim <= 1:
+        if isinstance(packed, tuple):
+            # XLA path, pre-drawn: (acts (B,K,1) f32, rnd (B,K,1)) —
+            # identical values to the packed layout without ever
+            # materializing the (B, K*stride) concat (its write+read was
+            # 10.5% of maze device time, 2026-08-20 xplane profile).
+            acts_f, rnd_f = packed
+            acts = acts_f[:, k].astype(jnp.int32)
+            rnd_reset = rnd_f[:, k]
+        elif packed.ndim <= 1:
             # In-loop RNG: `packed` is a PRNG key (see pallas_wildfire
             # _ms_math) — per-step draws fuse into consumers, no pre-drawn
             # buffer in HBM.  Distribution-identical.
@@ -194,9 +202,15 @@ def make_maze_episode_rollout(
                 jnp.float32
             )
             rnd = jax.random.uniform(k_r, (B, K, 1))
-            packed = jnp.concatenate([acts, rnd], axis=2).reshape(
-                B, K * MS_STRIDE
-            )
+            if use_kernel:
+                # The kernel's contract is one packed buffer.
+                packed = jnp.concatenate([acts, rnd], axis=2).reshape(
+                    B, K * MS_STRIDE
+                )
+            else:
+                # Same draws, unconcatenated (see _maze_ms_math tuple
+                # branch) — the (B, K*stride) concat never materializes.
+                packed = (acts, rnd)
         if use_kernel:
             pos, dirs, sc, run_ret, rew, ep_sum, eps = maze_multistep_slab(
                 t,
