@@ -806,6 +806,10 @@ def make_collect_episode_rollout(
                     jnp.float32
                 )
                 rnd = jax.random.uniform(k_r, (B, K, 3))
+                # Collect keeps the single packed buffer on BOTH paths:
+                # its stride is 5 floats/step, and the unconcatenated
+                # tuple form measured 5% SLOWER (fragmented fusion), the
+                # opposite of maze/ctf whose strides are larger.
                 packed = jnp.concatenate([acts, rnd], axis=2).reshape(
                     B, K * (A + 3)
                 )

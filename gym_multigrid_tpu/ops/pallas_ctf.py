@@ -849,6 +849,9 @@ def make_ctf_episode_rollout(
                 k_a, (B, K, t.n_blue), 0, NUM_ACTIONS
             ).astype(jnp.float32)
             rnd = jax.random.uniform(k_r, (B, K, stride - t.n_blue))
+            # One packed buffer on BOTH paths: the unconcatenated tuple
+            # form (maze's win) measured 1033-1037M vs 1046M here —
+            # neutral at best; XLA already overlaps this concat.
             packed = jnp.concatenate(
                 [acts, rnd], axis=2
             ).reshape(B, K * stride)
