@@ -691,6 +691,53 @@ def make_wildfire(cfg: WildfireConfig) -> WildfireFns:
     return WildfireFns(reset_fn=reset_fn, step_fn=step_fn, encode_fn=encode_fn)
 
 
+def make_wildfire_partial_encode(cfg: WildfireConfig, view_size: int = 7):
+    """Batched agent-FOV observations: ``fn(state) -> (n_agents, V, V, 3)``.
+
+    Completes the partial-observation matrix for the 4th family (the
+    reference-derived three are differentially pinned against the host
+    ``gen_obs`` pipeline; Wildfire has no reference or host-Grid
+    counterpart, so these are design-note semantics like the rest of the
+    family):  agents face up (dir 3, like Collect — the family has no
+    facing state), nothing in-bounds blocks sight (fire and trees are
+    see-through), and out-of-view-bounds cells read as empty — there is
+    nothing beyond the board's edge.  The pipeline itself
+    (envs/partial_obs.py) is the host-differentially-validated one.
+    """
+    from gym_multigrid_tpu.envs.partial_obs import make_partial_obs_fn
+
+    h, w = cfg.height, cfg.width
+    n_agents = cfg.num_agents
+    agent_colors = jnp.asarray(np.array(cfg.agents_index, dtype=np.int32))
+    obs_fn = make_partial_obs_fn(
+        w, h, view_size,
+        wall_encode=(EMPTY, 0, 0),
+        see_through_walls=True,
+    )
+
+    def encode_partial(state: WildfireState) -> jax.Array:
+        cells = state.cells  # (H, W), y-major
+        color = jnp.zeros_like(cells)
+        color = jnp.where(cells == TREE, TREE_COLOR, color)
+        color = jnp.where(cells == FIRE, FIRE_COLOR, color)
+        color = jnp.where(cells == BURNT, BURNT_COLOR, color)
+        typ = cells
+        for i in range(n_agents):
+            x, y = state.agent_pos[i, 0], state.agent_pos[i, 1]
+            typ = typ.at[y, x].set(W_AGENT)
+            color = color.at[y, x].set(agent_colors[i])
+        ch2 = jnp.where(typ == W_AGENT, 3, 0)
+        # xy-indexed planes for the FOV pipeline
+        planes = jnp.stack([typ.T, color.T, ch2.T]).astype(jnp.int32)
+        opaque = jnp.zeros((w, h), bool)
+        dirs = jnp.full((n_agents,), 3, jnp.int32)
+        return jax.vmap(
+            lambda p, d: obs_fn(planes, opaque, p, d)
+        )(state.agent_pos, dirs)
+
+    return encode_partial
+
+
 def make_wildfire_step_batch(cfg: WildfireConfig, use_pallas: bool = False):
     """Whole-batch wildfire step (BatchedEnv.step_batch contract).
 

@@ -303,10 +303,18 @@ def make_maze_batch(
 
 
 def make_wildfire_batch(
-    cfg, num_envs: int, auto_reset: bool = True, use_pallas: bool = False
+    cfg,
+    num_envs: int,
+    auto_reset: bool = True,
+    use_pallas: bool = False,
+    partial_obs_view: int | None = None,
 ) -> BatchedEnv:
+    """partial_obs_view=V swaps the full-grid encode for the batched
+    agent-FOV pipeline: per-env observations become
+    (n_agents, V, V, 3) uint8."""
     from gym_multigrid_tpu.envs.wildfire import (
         make_wildfire,
+        make_wildfire_partial_encode,
         make_wildfire_step_batch,
     )
 
@@ -314,10 +322,19 @@ def make_wildfire_batch(
     # The whole-batch step (shared slab math; optional fused kernel) beats
     # vmap(step_one): the spread stencil batches into one MXU matmul.
     step_batch = make_wildfire_step_batch(cfg, use_pallas=use_pallas)
+    encode_one = fns.encode_fn
+    if partial_obs_view is not None:
+        encode_one = make_wildfire_partial_encode(cfg, partial_obs_view)
+        raw_step_batch = step_batch
+
+        def step_batch(states, actions):
+            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
+            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+
     return BatchedEnv(
         reset_one=fns.reset_fn,
         step_one=fns.step_fn,
-        encode_one=fns.encode_fn,
+        encode_one=encode_one,
         num_envs=num_envs,
         auto_reset=auto_reset,
         step_batch=step_batch,

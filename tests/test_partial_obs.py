@@ -343,3 +343,46 @@ def test_partial_obs_batched_ctf_maze_shapes():
         mstates, jnp.zeros((8,), jnp.int32)
     )
     assert mobs2.shape == mobs.shape
+
+
+def test_wildfire_partial_obs_spec():
+    """Wildfire (no reference / no host-Grid oracle — design-note
+    semantics): the FOV slice of the family's own full encode, agents
+    facing up, everything see-through, empty beyond the edge."""
+    from gym_multigrid_tpu.envs.wildfire import (
+        EMPTY,
+        W_AGENT,
+        WildfireConfig,
+        make_wildfire,
+        make_wildfire_partial_encode,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+    cfg = WildfireConfig(size=16, max_steps=50)
+    fns = make_wildfire(cfg)
+    state = jax.jit(fns.reset_fn)(jax.random.key(3))
+    full = np.asarray(jax.jit(fns.encode_fn)(state))  # (W, H, 3) xy
+    got = np.asarray(jax.jit(make_wildfire_partial_encode(cfg, V))(state))
+    assert got.shape == (cfg.num_agents, V, V, 3)
+
+    # Oracle: pad the full encode with empty, slice the dir-3 (up) view,
+    # dir 3 + 1 left-rotations == identity for the "up" facing window
+    # centered at (x - V//2 .. x + V//2, y - V + 1 .. y).
+    pad = np.zeros((cfg.width + 2 * V, cfg.height + 2 * V, 3), np.uint8)
+    pad[:, :, 0] = EMPTY
+    pad[V : V + cfg.width, V : V + cfg.height] = full
+    hs = V // 2
+    pos = np.asarray(state.agent_pos)
+    for a in range(cfg.num_agents):
+        x, y = int(pos[a, 0]), int(pos[a, 1])
+        want = pad[x - hs + V : x + hs + 1 + V, y - V + 1 + V : y + 1 + V]
+        np.testing.assert_array_equal(got[a], want, err_msg=f"agent {a}")
+        assert got[a, hs, V - 1, 0] == W_AGENT  # sees itself bottom-center
+
+    env = make_wildfire_batch(cfg, 8, partial_obs_view=V)
+    states, obs = jax.jit(env.reset)(jax.random.key(0))
+    assert obs.shape == (8, cfg.num_agents, V, V, 3)
+    states, obs2, *_ = jax.jit(env.step)(
+        states, jnp.zeros((8, cfg.num_agents), jnp.int32)
+    )
+    assert obs2.shape == obs.shape
