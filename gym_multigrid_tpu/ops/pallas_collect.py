@@ -829,6 +829,16 @@ def make_collect_episode_rollout(
             else:
                 # In-loop RNG (see _collect_ms_math) unless
                 # rnd_mode="packed".
+                #
+                # NEGATIVE RESULT (round 4, measured): an O(n_balls)
+                # array-state form of this loop (ball positions as
+                # (B, 15) columns, closed-form rank-skip respawn picks —
+                # bit-identical outputs) ran 185M vs this path's 543M
+                # agent-steps/s.  TPU lanes quantize to 128: a (B, 17)
+                # column op costs the same vreg row as (B, 128), so
+                # "narrow" state buys nothing while the per-slot column
+                # ops and the 17-stage rank sort multiply op count.
+                # Plane math at C<=128 is already lane-optimal.
                 go, gc, gs, pos, rew, cnt = _collect_ms_math(
                     t,
                     K,
