@@ -421,6 +421,9 @@ def maze_reset_math(t: MazeTables, rnd, bg):
     # x|y<<8 word (coords < 256): this reset runs discarded on every
     # not-done step of the episode paths, and its two reduces were 17%
     # of maze device time in the 2026-08-20 xplane profile.
+    # Packing needs both coordinates to fit a byte; larger custom maps
+    # would silently bleed x into the y field otherwise.
+    assert t.s0 <= 256 and t.s1 <= 256, "packed spawn lookup needs dims <= 256"
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_bg), 1)
     hit = lane == j
     pk = bg[0] | (bg[1] << 8)  # (n_bg,) static per config

@@ -118,7 +118,6 @@ def make_partial_obs_fn(
     pad_cfg = [(V, V)] * 2
 
     def obs_fn(planes, opaque, pos, dir):
-        fills = jnp.asarray(wall_encode, jnp.int32)
         padded = jnp.stack(
             [
                 jnp.pad(planes[c], pad_cfg, constant_values=int(wall_encode[c]))
@@ -126,7 +125,6 @@ def make_partial_obs_fn(
             ]
         )
         opq = jnp.pad(opaque, pad_cfg, constant_values=True)
-        del fills
 
         top = tops(pos[0], pos[1])[dir] + V  # shift into padded coords
         view = lax.dynamic_slice(

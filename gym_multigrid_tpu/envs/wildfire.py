@@ -212,9 +212,16 @@ def wf_tables(cfg: WildfireConfig) -> WfTables:
 def compact_supported(t: WfTables) -> bool:
     """u8-threshold fields need every probability < 1 at 1/256 resolution
     (a threshold of 256 has no uint8 representation; p_spread/p_burnout/
-    tree_density >= 255.5/256 round there)."""
+    tree_density >= 255.5/256 round there), and wf_compact_ms's
+    bit-packed counter reduce holds ignition/burnout counts in 9-bit
+    fields — boards over 511 cells could overflow them (a dense fire
+    front can ignite >511 trees in one step), so larger boards keep the
+    plain in-loop form."""
     return (
-        max(t.ignite_u8) <= 255 and t.burnout_u8 <= 255 and t.tree_u8 <= 255
+        max(t.ignite_u8) <= 255
+        and t.burnout_u8 <= 255
+        and t.tree_u8 <= 255
+        and t.n_cells <= 511
     )
 
 

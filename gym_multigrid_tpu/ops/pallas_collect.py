@@ -570,9 +570,10 @@ def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
     picked = [jnp.full((B, 1), -1, dtype=jnp.int32) for _ in range(n_agents)]
     pos_cols = [pos[:, 2 * i : 2 * i + 2] for i in range(n_agents)]
     agent_colors = np.array(t.agent_colors, dtype=np.int32)
-    # Weak-typed mask: keeps plane ops in p's dtype (the XLA episode
-    # path runs the packed plane as int16 — obj 2b | color 4b | slot
-    # 5b fit in 11 bits, and the one-hot gather-sum cannot overflow).
+    # Weak-typed mask + .astype(p.dtype) casts below keep the math
+    # dtype-generic (an int16 plane was tried and measured 7% slower —
+    # see the note in _collect_ms_math — so the plane ships int32, but
+    # nothing here should silently upcast if that ever changes).
     obj_mask = 15
 
     for slot in range(n_agents):

@@ -169,6 +169,19 @@ class BatchedEnv:
         }
 
 
+
+def _swap_obs(raw_step_batch, encode_one):
+    """Wrap a whole-batch transition so the returned observation is the
+    partial-obs FOV encode of the post-step (pre-auto-reset) states —
+    shared by every family's ``partial_obs_view`` path."""
+
+    def step_batch(states, actions):
+        ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
+        return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+
+    return step_batch
+
+
 def make_collect_batch(
     cfg,
     num_envs: int,
@@ -192,13 +205,7 @@ def make_collect_batch(
     step_batch = make_collect_step_batch(cfg, use_kernel=use_pallas)
     if partial_obs_view is not None:
         encode_one = make_collect_partial_encode(cfg, partial_obs_view)
-        raw_step_batch = step_batch
-
-        def step_batch(states, actions):
-            # The slab transition computes the full-grid encode; swap in
-            # the FOV pipeline on the post-step (pre-auto-reset) states.
-            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
-            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+        step_batch = _swap_obs(step_batch, encode_one)
 
     return BatchedEnv(
         reset_one=reset_one,
@@ -240,13 +247,7 @@ def make_ctf_batch(
     encode_one = fns.obs_fn
     if partial_obs_view is not None:
         encode_one = make_ctf_partial_encode(cfg, partial_obs_view)
-        raw_step_batch = step_batch
-
-        def step_batch(states, actions):
-            # The slab transition computes the configured obs; swap in
-            # the FOV pipeline on the post-step (pre-auto-reset) states.
-            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
-            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+        step_batch = _swap_obs(step_batch, encode_one)
 
     return BatchedEnv(
         reset_one=fns.reset_fn,
@@ -284,11 +285,7 @@ def make_maze_batch(
     encode_one = fns.obs_fn
     if partial_obs_view is not None:
         encode_one = make_maze_partial_encode(cfg, partial_obs_view)
-        raw_step_batch = step_batch
-
-        def step_batch(states, actions):
-            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
-            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+        step_batch = _swap_obs(step_batch, encode_one)
 
     return BatchedEnv(
         reset_one=fns.reset_fn,
@@ -325,11 +322,7 @@ def make_wildfire_batch(
     encode_one = fns.encode_fn
     if partial_obs_view is not None:
         encode_one = make_wildfire_partial_encode(cfg, partial_obs_view)
-        raw_step_batch = step_batch
-
-        def step_batch(states, actions):
-            ns, _, rew, term, trunc, info = raw_step_batch(states, actions)
-            return ns, jax.vmap(encode_one)(ns), rew, term, trunc, info
+        step_batch = _swap_obs(step_batch, encode_one)
 
     return BatchedEnv(
         reset_one=fns.reset_fn,

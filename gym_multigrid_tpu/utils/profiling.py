@@ -110,39 +110,42 @@ def summarize_xplane(trace_dir: str, top: int = 5):
         from xprof.convert import raw_to_tool_data as _rtd
 
         data, _ = _rtd.xspace_to_tool_data([xs[-1]], "hlo_stats", {})
+        d = _json.loads(data)
+        rows = d.get("rows", [])
+        if not rows:
+            return None
+
+        def v(r, i):
+            return r["c"][i].get("v")
+
+        # hlo_stats columns (xprof 2.21): 2=category, 3=op name,
+        # 6=occurrences, 9=total self time (us), 21=bound by, 25=source
+        # info (html-wrapped).  Parsing stays inside the try: a schema
+        # shift in a future xprof must degrade to estimates-only, not
+        # crash the caller after the measured run completed.
+        total = sum(v(r, 9) for r in rows) or 1.0
+        bound = {}
+        for r in rows:
+            bound[v(r, 21)] = bound.get(v(r, 21), 0.0) + v(r, 9)
+        rows_s = sorted(rows, key=lambda r: -v(r, 9))
+        top_ops = [
+            {
+                "op": v(r, 3),
+                "category": v(r, 2),
+                "occurrences": int(v(r, 6)),
+                "time_fraction": round(v(r, 9) / total, 4),
+                "bound_by": v(r, 21),
+                "source": re.sub(r"<[^>]+>", "", str(v(r, 25))).strip(),
+            }
+            for r in rows_s[:top]
+        ]
+        return {
+            "total_device_ms": round(total / 1e3, 3),
+            "bound_by": {
+                k: round(t / total, 4)
+                for k, t in sorted(bound.items(), key=lambda kv: -kv[1])
+            },
+            "top_ops": top_ops,
+        }
     except Exception:
         return None
-    d = _json.loads(data)
-    rows = d.get("rows", [])
-    if not rows:
-        return None
-
-    def v(r, i):
-        return r["c"][i].get("v")
-
-    # hlo_stats columns (xprof 2.21): 2=category, 3=op name, 6=occurrences,
-    # 9=total self time (us), 21=bound by, 25=source info (html-wrapped).
-    total = sum(v(r, 9) for r in rows) or 1.0
-    bound = {}
-    for r in rows:
-        bound[v(r, 21)] = bound.get(v(r, 21), 0.0) + v(r, 9)
-    rows_s = sorted(rows, key=lambda r: -v(r, 9))
-    top_ops = [
-        {
-            "op": v(r, 3),
-            "category": v(r, 2),
-            "occurrences": int(v(r, 6)),
-            "time_fraction": round(v(r, 9) / total, 4),
-            "bound_by": v(r, 21),
-            "source": re.sub(r"<[^>]+>", "", str(v(r, 25))).strip(),
-        }
-        for r in rows_s[:top]
-    ]
-    return {
-        "total_device_ms": round(total / 1e3, 3),
-        "bound_by": {
-            k: round(t / total, 4)
-            for k, t in sorted(bound.items(), key=lambda kv: -kv[1])
-        },
-        "top_ops": top_ops,
-    }
