@@ -660,15 +660,16 @@ def _ctf_reset_math(t: CtfKTables, rnd, bterr, rterr):
                     (u * n_cells_).astype(jnp.int32), n_cells_ - 1
                 )
             # one-hot reduce (not an unrolled per-cell select chain —
-            # this runs inside unrolled multi-step kernels)
+            # this runs inside unrolled multi-step kernels).  Both
+            # coordinates ride ONE reduce as a packed r0|r1<<8 word
+            # (coords < 256; same trick as maze_reset_math — this runs
+            # discarded on every not-done step of the episode paths).
             hit_l = lane == idx
-            r0 = jnp.sum(
-                jnp.where(hit_l, terr[0][None, :], 0), axis=1, keepdims=True
+            pk = terr[0] | (terr[1] << 8)  # static per config
+            p = jnp.sum(
+                jnp.where(hit_l, pk[None, :], 0), axis=1, keepdims=True
             )
-            r1 = jnp.sum(
-                jnp.where(hit_l, terr[1][None, :], 0), axis=1, keepdims=True
-            )
-            cols.extend([r0, r1])
+            cols.extend([p & 255, p >> 8])
         return cols
 
     cols = draw_team(bterr, nb, t.n_blue, 0)
