@@ -398,6 +398,23 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
     bbl = [jnp.zeros((B, 1), dtype=bool) for _ in range(t.n_blue)]
     brl = [jnp.zeros((B, 1), dtype=bool) for _ in range(t.n_red)]
     ub_base = perm_draws + 3 * t.n_red
+    # Own-territory flags depend only on each agent's (fixed, post-move)
+    # position — hoisted out of the pair loop so the battle resolution
+    # pays n_blue + n_red one-hot reduces instead of 2 * n_blue * n_red
+    # (positions don't change mid-battle; tm eligibility stays in-loop,
+    # preserving the reference's sequential outcome updates).
+    bin_own_l = [
+        _cell_flag(cells[1][None, :], clip_flat(px[b], py[b]), lane)
+        for b in range(t.n_blue)
+    ]
+    rin_own_l = [
+        _cell_flag(
+            cells[2][None, :],
+            clip_flat(px[t.n_blue + r], py[t.n_blue + r]),
+            lane,
+        )
+        for r in range(t.n_red)
+    ]
     k = 0
     for b in range(t.n_blue):
         for r in range(t.n_red):
@@ -413,12 +430,8 @@ def _ctf_step_math(t: CtfKTables, pos, dirs, term, coll, blue_actions, rnd,
                 & (tm[b] == 0)
                 & (tm[i] == 0)
             )
-            bin_own = _cell_flag(
-                cells[1][None, :], clip_flat(px[b], py[b]), lane
-            )
-            rin_own = _cell_flag(
-                cells[2][None, :], clip_flat(px[i], py[i]), lane
-            )
+            bin_own = bin_own_l[b]
+            rin_own = rin_own_l[r]
             p_blue = jnp.where(
                 bin_own == rin_own,
                 0.5,
