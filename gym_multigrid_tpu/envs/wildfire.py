@@ -213,15 +213,15 @@ def compact_supported(t: WfTables) -> bool:
     """u8-threshold fields need every probability < 1 at 1/256 resolution
     (a threshold of 256 has no uint8 representation; p_spread/p_burnout/
     tree_density >= 255.5/256 round there), and wf_compact_ms's
-    bit-packed counter reduce holds ignition/burnout counts in 9-bit
-    fields — boards over 511 cells could overflow them (a dense fire
-    front can ignite >511 trees in one step), so larger boards keep the
-    plain in-loop form."""
+    bit-packed counter reduce holds ignition/burnout counts in 11-bit
+    fields — boards over 2047 cells could overflow them (a dense fire
+    front can ignite more trees than the field holds in one step), so
+    larger boards keep the plain in-loop form."""
     return (
         max(t.ignite_u8) <= 255
         and t.burnout_u8 <= 255
         and t.tree_u8 <= 255
-        and t.n_cells <= 511
+        and t.n_cells <= 2047
     )
 
 
@@ -498,7 +498,11 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
     # MXU idle (2026-08-20 xplane trace); fire_row @ adjacency is exact in
     # bf16 (0/1 inputs, counts <= 4) and overlaps with the VPU work.
     adj_bf16 = jnp.asarray(adjacency(t), dtype=jnp.bfloat16)
-    SH_IG, SH_BO = 3, 12  # ignite/burnout bit offsets in the packed reduce
+    # ignite/burnout bit offsets in the packed reduce: 11-bit fields
+    # hold counts <= 2047 (compact_supported gates n_cells <= 2047,
+    # covering 32x32=1024 and up to 45x45); max sum = 4 + 2047<<3 +
+    # 2047<<14 ~ 3.4e7, far inside int32.
+    SH_IG, SH_BO = 3, 14
 
     # ---- amortized fresh boards (see docstring) -------------------------
     R = min(4, K)
@@ -578,7 +582,7 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
         )
         s = jnp.sum(combined, axis=1, keepdims=True)
         n_ext = s & 7  # put_out <= n_agents <= 4
-        n_ig = (s >> SH_IG) & 511
+        n_ig = (s >> SH_IG) & 2047
         n_bo = s >> SH_BO
         fire_cnt = fire_cnt - n_ext - n_bo + n_ig
 
