@@ -209,20 +209,43 @@ def wf_tables(cfg: WildfireConfig) -> WfTables:
     )
 
 
+def _u8_threshold_ok(threshold: int, p: float) -> bool:
+    """Is a u8 compare threshold an acceptable stand-in for probability p?
+
+    Acceptable means: zero probabilities stay exactly zero, and nonzero
+    ones survive quantization with a representable (>= 1) threshold and
+    <= 5% relative error.  Without the lower gate, a small probability
+    (e.g. p_burnout < 1/512) would round to threshold 0 and the event
+    would silently NEVER fire on the compact path — unbounded relative
+    error the <=1.6%-at-defaults docstring never promised."""
+    if p <= 0.0:
+        return threshold == 0
+    return threshold >= 1 and abs(threshold / 256.0 - p) <= 0.05 * p
+
+
 def compact_supported(t: WfTables) -> bool:
-    """u8-threshold fields need every probability < 1 at 1/256 resolution
-    (a threshold of 256 has no uint8 representation; p_spread/p_burnout/
-    tree_density >= 255.5/256 round there), and wf_compact_ms's
-    bit-packed counter reduce holds ignition/burnout counts in 11-bit
-    fields — boards over 2047 cells could overflow them (a dense fire
-    front can ignite more trees than the field holds in one step), so
-    larger boards keep the plain in-loop form."""
-    return (
-        max(t.ignite_u8) <= 255
+    """u8-threshold fields need every probability representable at 1/256
+    resolution: not rounding to 256 (p >= 255.5/256 has no uint8
+    threshold), not rounding to 0 when nonzero, and within 5% relative
+    error of the true value (:func:`_u8_threshold_ok` — tiny
+    probabilities otherwise quantize to "never fires").  wf_compact_ms's
+    bit-packed counter reduce also holds ignition/burnout counts in
+    11-bit fields — boards over 2047 cells could overflow them (a dense
+    fire front can ignite more trees than the field holds in one step).
+    Configs outside this envelope keep the plain in-loop form, which is
+    distribution-exact at any probability."""
+    probs_ok = (
+        all(
+            _u8_threshold_ok(u8, 1.0 - s)
+            for u8, s in zip(t.ignite_u8, t.survival)
+        )
+        and _u8_threshold_ok(t.burnout_u8, t.p_burnout)
+        and _u8_threshold_ok(t.tree_u8, t.tree_density)
+        and max(t.ignite_u8) <= 255
         and t.burnout_u8 <= 255
         and t.tree_u8 <= 255
-        and t.n_cells <= 2047
     )
+    return probs_ok and t.n_cells <= 2047
 
 
 def adjacency(cfg_or_t) -> np.ndarray:

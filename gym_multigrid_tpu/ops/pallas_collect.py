@@ -75,8 +75,15 @@ def _prefix_sum_lanes(x):
 
 
 def _prefix_counts(mask, tril):
-    """(inclusive prefix sum, total count) of a (B, C) bool mask, int32.
-    tril = (C, C) f32 prefix matmul (Mosaic form) or None (XLA form)."""
+    """(inclusive prefix sum, total count) of a (B, C) bool mask.
+
+    tril = (C, C) f32/bf16 prefix matmul (Mosaic/MXU form) or None (XLA
+    shifted-adds form).  ``cum`` comes back in the matmul's own dtype —
+    counts <= C <= 256 are exact integers in f32 and bf16, so consumers
+    compare against ``(r + 1).astype(cum.dtype)`` instead of paying a
+    whole-plane convert back to int32 (the convert was a top VMEM-write
+    op in the 2026-08-20 collect xplane trace).  ``count`` is the (B, 1)
+    int32 total."""
     if tril is None:
         cum = _prefix_sum_lanes(mask.astype(jnp.int32))
     else:
@@ -86,11 +93,11 @@ def _prefix_counts(mask, tril):
         cum = jnp.dot(
             mask.astype(tril.dtype), tril,
             preferred_element_type=tril.dtype,
-        ).astype(jnp.int32)
+        )
     # The total count IS the last lane of the inclusive prefix sum — a
     # separate sum-reduce of the mask was 17% of collect's device time
     # (2026-08-20 xplane trace) for a value already computed.
-    return cum, cum[:, -1:]
+    return cum, cum[:, -1:].astype(jnp.int32)
 
 
 def _step_math(t: _Tables, go, gc, gs, pos, acts, rnd, rects=None, tril=None):
@@ -193,7 +200,7 @@ def _step_math(t: _Tables, go, gc, gs, pos, acts, rnd, rects=None, tril=None):
             r = jnp.minimum(
                 (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
             )
-            hit_r = (cum == r + 1) & mask
+            hit_r = (cum == (r + 1).astype(cum.dtype)) & mask
             go = jnp.where(hit_r & is_ball, t.ball, go)
             gc = jnp.where(hit_r & is_ball, ball_color, gc)
             # respawned balls pay balls_reward[color] via slot base+color
@@ -477,12 +484,13 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
         cnt_lane = jax.lax.broadcasted_iota(jnp.int32, (1, A * n_types), 1)
         slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_slots), 1)
         a_lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
+        rect_bits = _rect_bits(rects_ref[:])  # hoisted out of the K loop
         for k in range(K):
             base = k * (A + 3)
             acts = ar[:, base : base + A].astype(jnp.int32)
             rnd = ar[:, base + A : base + A + 3]
             gp_k, pos_k, picked = _step_math_packed(
-                t, gp_k, pos_k, acts, rnd, rects_ref[:], tril_ref[:],
+                t, gp_k, pos_k, acts, rnd, rect_bits, tril_ref[:],
             )
             # slot-keyed reward/counter accumulation: table rows come in as
             # (1, n_slots) refs and are selected with iota compares (no
@@ -543,7 +551,20 @@ def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types
     return go, gc, gs, pos_o, rew_o, cnt_o
 
 
-def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
+def _rect_bits(rects):
+    """(n_colors, C) bool respawn rects -> one (1, C) int32 bit plane:
+    bit c of lane l says lane l belongs to color c's rect.  Lets the
+    per-row rect select run as ``(rect_bits >> bc) & 1`` — two (B, C)
+    ops instead of an n_colors-long compare/and/or chain (constant-folded
+    on the XLA path; hoisted out of the step loop in the kernels)."""
+    n_colors = rects.shape[0]
+    bits = jnp.zeros((1, rects.shape[1]), jnp.int32)
+    for c in range(n_colors):
+        bits = bits | (rects[c][None, :].astype(jnp.int32) << c)
+    return bits
+
+
+def _step_math_packed(t: _Tables, p, pos, acts, rnd, rect_bits, tril):
     """:func:`_step_math` on ONE packed (B, C) int32 plane.
 
     Layout: obj = bits 0-3, color = bits 4-7, reward slot = bits 8+.  All
@@ -554,8 +575,22 @@ def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
     the unrolled multi-step path) into one — the (B, C) slab work is what
     bounds the XLA episode path at batch scale.
 
-    Bit-equality with the three-plane spec is pinned in
-    tests/test_pallas.py (pack -> packed step -> unpack == _step_math).
+    rect_bits is :func:`_rect_bits` of the respawn rects (None when
+    t.respawn is False).
+
+    Two boolean identities trim the per-sub-step (B, C) materializations
+    vs the three-plane spec (the 2026-08-20 xplane trace showed the path
+    VMEM-write-bound at 61%), both pinned bit-exact against
+    :func:`_step_math` in tests/test_pallas.py:
+
+    * the pickup-clear write is dropped: it touches only the picked ball
+      cell (hit_n & is_ball), and is_ball implies do_move, so the move
+      write at hit_n always lands on top of it — the cleared value is
+      never observable in the output plane;
+    * the respawn mask reads the PRE-pickup plane instead: a lane is
+      empty-after-pickup iff it was empty before OR it is the picked
+      ball cell, so ``mask = rect & (empty | (hit_n & is_ball))`` — the
+      mid-step plane no longer has to exist as a value at all.
     """
     B, C = p.shape
     n_agents = acts.shape[1]
@@ -620,22 +655,22 @@ def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
         ball_color = (cell_p >> 4) & obj_mask
         ball_slot = cell_p >> 8
 
-        # pickup: clear obj+color+slot in one write (collect_game.py:140)
-        p = jnp.where(hit_n & is_ball, t.empty, p)
-
         if t.respawn:
-            n_colors = rects.shape[0]
+            # respawn BEFORE the move (collect_game.py:129-144), over the
+            # cells empty after the pickup-clear — expressed on the
+            # pre-pickup plane (see docstring identity #2).
+            n_colors = len(t.respawn_rects)
             bc = jnp.clip(ball_color, 0, n_colors - 1)
-            rect = jnp.zeros((B, C), dtype=jnp.bool_)
-            for c in range(n_colors):
-                rect = rect | ((bc == c) & rects[c][None, :])
-            mask = rect & ((p & obj_mask) == t.empty)
+            rect = ((rect_bits >> bc) & 1) != 0
+            mask = rect & (
+                ((p & obj_mask) == t.empty) | (hit_n & is_ball)
+            )
             cum, count = _prefix_counts(mask, tril)
             u = rnd[:, 1 + slot : 2 + slot]
             r = jnp.minimum(
                 (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
             )
-            hit_r = (cum == r + 1) & mask
+            hit_r = (cum == (r + 1).astype(cum.dtype)) & mask
             ball_p = (
                 t.ball
                 | (ball_color << 4)
@@ -643,7 +678,9 @@ def _step_math_packed(t: _Tables, p, pos, acts, rnd, rects, tril):
             ).astype(p.dtype)
             p = jnp.where(hit_r & is_ball, ball_p, p)
 
-        # move (collect_game.py:174-181); vacated cell has no slot/color
+        # move (collect_game.py:174-181); vacated cell has no slot/color.
+        # The move write covers the pickup-clear (docstring identity #1):
+        # at hit_n & is_ball the agent value lands regardless.
         agent_p = jnp.asarray(t.agent | (my_color << 4), p.dtype)
         p = jnp.where(hit_n & do_move, agent_p, p)
         p = jnp.where(hit_o & do_move, t.empty, p)
@@ -684,24 +721,18 @@ def unpack_planes(p):
     return p & m, (p >> 4) & m, p >> 8
 
 
-def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
-                     rwd_tab, slot_tab, n_types):
-    """K Collect steps as plain XLA (the kernel body's loop, same
-    :func:`_step_math`, with gather-based reward/counter accumulation —
-    values identical to the kernel's iota-compare selects)."""
-    B, C = go.shape
+def _collect_ms_math_packed(t, K, p, pos, packed, rect_bits, tril,
+                            rwd_tab, slot_tab, n_types):
+    """K Collect steps as plain XLA on an already-packed plane (the
+    kernel body's loop, same :func:`_step_math`, with gather-based
+    reward/counter accumulation — values identical to the kernel's
+    iota-compare selects).  The packed-plane episode rollout carries `p`
+    through chunk AND episode boundaries, so pack/unpack happens once
+    per whole rollout, not once per chunk launch."""
+    B, C = p.shape
     A = pos.shape[1] // 2
     rew = jnp.zeros((B, A), jnp.float32)
     cnt = jnp.zeros((B, A, n_types), jnp.int32)
-    # The unrolled K steps run on ONE packed plane (obj|color<<4|slot<<8):
-    # a third of the slab working set / chunk-boundary traffic of three
-    # separate planes, and most per-step updates collapse to one select.
-    # Pack/unpack only at the chunk boundary.  Output-identical to K
-    # _step_math steps (pinned in tests/test_pallas.py).  (An int16 plane
-    # was tried and measured 7% SLOWER on-chip: sub-32-bit types pay
-    # (16,128)-tile relayouts that outweigh the byte savings at C=100 —
-    # same lesson as wildfire's int8 boards needing layout-free draws.)
-    p = pack_planes(go, gc, gs)
     for k in range(K):
         if packed.ndim <= 1:
             # In-loop RNG: `packed` is a PRNG key; per-step draws fuse
@@ -716,7 +747,9 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
             base = k * (A + 3)
             acts = packed[:, base : base + A].astype(jnp.int32)
             rnd = packed[:, base + A : base + A + 3]
-        p, pos, picked = _step_math_packed(t, p, pos, acts, rnd, rects, tril)
+        p, pos, picked = _step_math_packed(
+            t, p, pos, acts, rnd, rect_bits, tril
+        )
         got = picked >= 0  # (B, A)
         ps = jnp.clip(picked, 0, rwd_tab.shape[0] - 1)
         rew = rew + jnp.where(got, rwd_tab[ps], 0.0)
@@ -724,8 +757,27 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
             slot_tab[ps], n_types, dtype=jnp.int32
         ) * got[..., None].astype(jnp.int32)
         cnt = cnt + bump
+    return p, pos, rew, cnt.reshape(B, A * n_types)
+
+
+def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
+                     rwd_tab, slot_tab, n_types):
+    """Three-plane facade over :func:`_collect_ms_math_packed`.
+
+    The unrolled K steps run on ONE packed plane (obj|color<<4|slot<<8):
+    a third of the slab working set / chunk-boundary traffic of three
+    separate planes, and most per-step updates collapse to one select.
+    Output-identical to K _step_math steps (pinned in
+    tests/test_pallas.py).  (An int16 plane was tried and measured 7%
+    SLOWER on-chip: sub-32-bit types pay (16,128)-tile relayouts that
+    outweigh the byte savings at C=100 — same lesson as wildfire's int8
+    boards needing layout-free draws.)"""
+    p, pos, rew, cnt = _collect_ms_math_packed(
+        t, K, pack_planes(go, gc, gs), pos, packed, _rect_bits(rects),
+        tril, rwd_tab, slot_tab, n_types,
+    )
     go, gc, gs = unpack_planes(p)
-    return go, gc, gs, pos, rew, cnt.reshape(B, A * n_types)
+    return go, gc, gs, pos, rew, cnt
 
 
 def make_collect_episode_rollout(
@@ -743,9 +795,11 @@ def make_collect_episode_rollout(
     randomness, then all envs reset.
 
     use_kernel=False runs the identical K-step math as one plain-XLA
-    program (:func:`_collect_ms_math` + the XLA `_reset_math` reset).
+    program (:func:`_collect_ms_math_packed` + the packed-plane
+    `_reset_math_packed` reset), with the board carried packed through
+    the whole rollout.
     """
-    from gym_multigrid_tpu.envs.collect import make_collect
+    from gym_multigrid_tpu.envs.collect import _wall_mask, make_collect
 
     assert cfg.respawn or cfg.fixed_horizon, "early termination breaks lockstep"
     if cfg.num_agents not in (1, 2):
@@ -792,68 +846,47 @@ def make_collect_episode_rollout(
     _ms_slot = jnp.asarray(slot_info_np, dtype=jnp.int32)
 
     draw_packed = use_kernel or rnd_mode == "packed"
+    _ms_rect_bits = _rect_bits(_ms_rects) if t.respawn else None
+    rt, plan = make_reset_tables(cfg)
+    wall_np = np.array(_wall_mask(cfg), dtype=np.bool_)
+    _rs_rects_np = plan.ball_rects.copy()
+    _rs_rects_np &= ~wall_np[None, :]
+    _rs_rects = jnp.asarray(_rs_rects_np)
+    _rs_wall_row = jnp.asarray(wall_np)[None, :]
+    n_reset_draws = len(rt.ball_colors) + cfg.num_agents
+
+    def _draw_step_rnd(k_launch, B, K):
+        k_a, k_r = jax.random.split(k_launch)
+        acts = jax.random.randint(k_a, (B, K, A), 0, 4).astype(jnp.float32)
+        rnd = jax.random.uniform(k_r, (B, K, 3))
+        # Collect keeps the single packed buffer on BOTH paths: its
+        # stride is 5 floats/step, and the unconcatenated tuple form
+        # measured 5% SLOWER (fragmented fusion), the opposite of
+        # maze/ctf whose strides are larger.
+        return jnp.concatenate([acts, rnd], axis=2).reshape(B, K * (A + 3))
 
     def _one_episode(states, key):
-        """max_steps env steps (chunked kernel launches) + lockstep reset."""
+        """max_steps env steps (chunked kernel launches) + lockstep reset
+        — the Pallas-kernel path (CollectState carry)."""
         B = states.grid_obj.shape[0]
         reward_sum = jnp.float32(0.0)
         done = 0
         while done < cfg.max_steps:
             K = min(chunk, cfg.max_steps - done)
             key, k_launch = jax.random.split(key)
-            if draw_packed:
-                k_a, k_r = jax.random.split(k_launch)
-                acts = jax.random.randint(k_a, (B, K, A), 0, 4).astype(
-                    jnp.float32
-                )
-                rnd = jax.random.uniform(k_r, (B, K, 3))
-                # Collect keeps the single packed buffer on BOTH paths:
-                # its stride is 5 floats/step, and the unconcatenated
-                # tuple form measured 5% SLOWER (fragmented fusion), the
-                # opposite of maze/ctf whose strides are larger.
-                packed = jnp.concatenate([acts, rnd], axis=2).reshape(
-                    B, K * (A + 3)
-                )
-            if use_kernel:
-                go, gc, gs, pos, rew, cnt = collect_multistep_slab(
-                    t,
-                    states.grid_obj,
-                    states.grid_color,
-                    states.grid_slot,
-                    states.agent_pos.reshape(B, -1),
-                    packed,
-                    K,
-                    reward_slot,
-                    n_types,
-                    interpret,
-                )
-            else:
-                # In-loop RNG (see _collect_ms_math) unless
-                # rnd_mode="packed".
-                #
-                # NEGATIVE RESULT (round 4, measured): an O(n_balls)
-                # array-state form of this loop (ball positions as
-                # (B, 15) columns, closed-form rank-skip respawn picks —
-                # bit-identical outputs) ran 185M vs this path's 543M
-                # agent-steps/s.  TPU lanes quantize to 128: a (B, 17)
-                # column op costs the same vreg row as (B, 128), so
-                # "narrow" state buys nothing while the per-slot column
-                # ops and the 17-stage rank sort multiply op count.
-                # Plane math at C<=128 is already lane-optimal.
-                go, gc, gs, pos, rew, cnt = _collect_ms_math(
-                    t,
-                    K,
-                    states.grid_obj,
-                    states.grid_color,
-                    states.grid_slot,
-                    states.agent_pos.reshape(B, -1),
-                    packed if draw_packed else k_launch,
-                    _ms_rects,
-                    _ms_tril,
-                    _ms_rwd,
-                    _ms_slot,
-                    n_types,
-                )
+            packed = _draw_step_rnd(k_launch, B, K)
+            go, gc, gs, pos, rew, cnt = collect_multistep_slab(
+                t,
+                states.grid_obj,
+                states.grid_color,
+                states.grid_slot,
+                states.agent_pos.reshape(B, -1),
+                packed,
+                K,
+                reward_slot,
+                n_types,
+                interpret,
+            )
             reward_sum = reward_sum + jnp.sum(rew)
             states = type(states)(
                 grid_obj=go,
@@ -870,6 +903,56 @@ def make_collect_episode_rollout(
         # truncation: every env resets in lockstep (fused reset kernel)
         states = reset_batch(states.key)
         return states, reward_sum
+
+    def _one_episode_packed(p, pos, coll, info, keys, key):
+        """The XLA path's episode body on the PACKED plane carry.
+
+        Identical math to :func:`_one_episode` (same draws, same
+        :func:`_collect_ms_math_packed` steps, same reset program keyed
+        off the per-env state keys), but the plane stays packed through
+        chunk AND episode boundaries: the truncation reset writes the
+        next episode's board directly in packed form
+        (:func:`_reset_math_packed`), so the only pack/unpack in the
+        whole rollout is the facade at its entry/exit.
+
+        NEGATIVE RESULT (round 4, measured): an O(n_balls) array-state
+        form of this loop (ball positions as (B, 15) columns,
+        closed-form rank-skip respawn picks — bit-identical outputs) ran
+        185M vs this path's 543M agent-steps/s.  TPU lanes quantize to
+        128: a (B, 17) column op costs the same vreg row as (B, 128), so
+        "narrow" state buys nothing while the per-slot column ops and
+        the 17-stage rank sort multiply op count.  Plane math at C<=128
+        is already lane-optimal.
+        """
+        B = p.shape[0]
+        reward_sum = jnp.float32(0.0)
+        done = 0
+        while done < cfg.max_steps:
+            K = min(chunk, cfg.max_steps - done)
+            key, k_launch = jax.random.split(key)
+            packed = (
+                _draw_step_rnd(k_launch, B, K) if draw_packed else k_launch
+            )
+            p, pos, rew, cnt = _collect_ms_math_packed(
+                t, K, p, pos, packed, _ms_rect_bits, _ms_tril,
+                _ms_rwd, _ms_slot, n_types,
+            )
+            reward_sum = reward_sum + jnp.sum(rew)
+            coll = coll + jnp.sum(cnt.reshape(B, A, -1), axis=(1, 2))
+            info = info + cnt.reshape(B, A, -1)
+            done += K
+        # truncation reset, in packed form; key handling matches
+        # make_collect_reset_batch exactly (same splits, same draws).
+        new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        rnd = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.split(k)[1], (n_reset_draws,)
+            )
+        )(keys)
+        p, pos = _reset_math_packed(rt, _rs_wall_row, _rs_rects, rnd, _ms_tril)
+        coll = jnp.zeros((B,), jnp.int32)
+        info = jnp.zeros((B, A, n_types), jnp.int32)
+        return p, pos, coll, info, new_keys, reward_sum
 
     def rollout(states, key, num_steps: int):
         assert num_steps % cfg.max_steps == 0
@@ -897,15 +980,57 @@ def make_collect_episode_rollout(
         # One episode body in the graph, scanned — keeps compile time flat
         # in num_steps (inlining every episode's reset program blows up the
         # HLO otherwise).
-        def body(carry, _):
-            states, key, reward_sum = carry
-            key, k_ep = jax.random.split(key)
-            states, r = _one_episode(states, k_ep)
-            return (states, key, reward_sum + r), None
+        if use_kernel:
 
-        (states, key, reward_sum), _ = jax.lax.scan(
-            body, (states, key, jnp.float32(0.0)), None, length=n_eps
-        )
+            def body(carry, _):
+                states, key, reward_sum = carry
+                key, k_ep = jax.random.split(key)
+                states, r = _one_episode(states, k_ep)
+                return (states, key, reward_sum + r), None
+
+            (states, key, reward_sum), _ = jax.lax.scan(
+                body, (states, key, jnp.float32(0.0)), None, length=n_eps
+            )
+        else:
+            # Packed-plane carry for the XLA path (see
+            # _one_episode_packed); one pack here, one unpack below.
+            p0 = pack_planes(
+                states.grid_obj, states.grid_color, states.grid_slot
+            )
+
+            def body(carry, _):
+                p, pos, coll, info, keys, key, reward_sum = carry
+                key, k_ep = jax.random.split(key)
+                p, pos, coll, info, keys, r = _one_episode_packed(
+                    p, pos, coll, info, keys, k_ep
+                )
+                return (p, pos, coll, info, keys, key, reward_sum + r), None
+
+            carry0 = (
+                p0,
+                states.agent_pos.reshape(B, -1),
+                states.collected,
+                states.info_counts,
+                states.key,
+                key,
+                jnp.float32(0.0),
+            )
+            (p, pos, coll, info, keys, key, reward_sum), _ = jax.lax.scan(
+                body, carry0, None, length=n_eps
+            )
+            go, gc, gs = unpack_planes(p)
+            states = type(states)(
+                grid_obj=go,
+                grid_color=gc,
+                grid_slot=gs,
+                agent_pos=pos.reshape(B, -1, 2),
+                collected=coll,
+                # every episode in this rollout completed (lockstep
+                # truncation), so step_count restarts at 0
+                step_count=jnp.zeros((B,), jnp.int32),
+                info_counts=info,
+                key=keys,
+            )
         episodes = jnp.int32(B * n_eps)
         return states, {
             "reward_sum": reward_sum,
@@ -976,7 +1101,7 @@ def _masked_pick(mask, u, tril):
     r = jnp.minimum(
         (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
     )
-    return (cum == r + 1) & mask
+    return (cum == (r + 1).astype(cum.dtype)) & mask
 
 
 def _reset_math(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
@@ -1041,6 +1166,62 @@ def _reset_math(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
         go, gc, gs, pos_cols = place_agents(go, gc, gs, 0)
         go, gc, gs = place_balls(go, gc, gs, A)
     return go, gc, gs, jnp.concatenate(pos_cols, axis=1)
+
+
+def _reset_math_packed(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
+    """:func:`_reset_math` writing the packed (obj|color<<4|slot<<8)
+    plane directly — one select per placement instead of three, and the
+    packed-plane episode rollout never has to unpack across episode
+    boundaries.  pack_planes(*_reset_math(...)) equality is pinned in
+    tests/test_pallas.py."""
+    B = rnd.shape[0]
+    C = rt.n_cells
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    wall_p = rt.wall | (rt.wall_color << 4)
+    p = jnp.where(wall_row, wall_p, rt.empty) + jnp.zeros((B, C), jnp.int32)
+    A = len(rt.agent_colors)
+    w = rt.width
+    obj_mask = 15
+
+    def place_balls(p, base):
+        for b, color in enumerate(rt.ball_colors):
+            mask = ball_rects[b][None, :] & ((p & obj_mask) == rt.empty)
+            hit = _masked_pick(mask, rnd[:, base + b : base + b + 1], tril)
+            p = jnp.where(hit, rt.ball | (int(color) << 4) | (b << 8), p)
+        return p
+
+    def place_agents(p, base):
+        cols = []
+        for i, color in enumerate(rt.agent_colors):
+            if rt.agent_fixed is not None:
+                x, y = rt.agent_fixed[i]
+                idx = jnp.full((B, 1), y * w + x, dtype=jnp.int32)
+            elif rt.agent_choice is not None:
+                u = rnd[:, base + i : base + i + 1]
+                n = len(rt.agent_choice)
+                j = jnp.minimum((u * n).astype(jnp.int32), n - 1)
+                idx = jnp.zeros((B, 1), jnp.int32)
+                for k, (x, y) in enumerate(rt.agent_choice):
+                    idx = jnp.where(j == k, y * w + x, idx)
+            else:
+                mask = (p & obj_mask) == rt.empty
+                hit = _masked_pick(mask, rnd[:, base + i : base + i + 1], tril)
+                idx = jnp.sum(
+                    jnp.where(hit, lane, 0), axis=1, keepdims=True
+                )
+            hit = lane == idx
+            p = jnp.where(hit, rt.agent | (int(color) << 4), p)
+            cols.append(jnp.concatenate([idx % w, idx // w], axis=1))
+        return p, cols
+
+    nb = len(rt.ball_colors)
+    if rt.balls_before_agents:
+        p = place_balls(p, 0)
+        p, pos_cols = place_agents(p, nb)
+    else:
+        p, pos_cols = place_agents(p, 0)
+        p = place_balls(p, A)
+    return p, jnp.concatenate(pos_cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 5))

@@ -821,6 +821,16 @@ def ctf_reset_inputs(cfg):
     t = build_tables(cfg)
     bterr = np.asarray(t.blue_territory, dtype=np.int32).T.copy()
     rterr = np.asarray(t.red_territory, dtype=np.int32).T.copy()
+    # _ctf_reset_math packs both spawn coordinates into one r0|r1<<8 word
+    # per cell; a coordinate >= 256 would bleed into the high field and
+    # silently corrupt spawns (CtfConfig.from_map_path accepts arbitrary
+    # maps — same guard as maze_reset_math's packed reduce).
+    for name, terr in (("blue", bterr), ("red", rterr)):
+        if terr.size and int(terr.max()) > 255:
+            raise ValueError(
+                f"{name} territory coordinates reach {int(terr.max())} — "
+                "the packed spawn reduce supports boards up to 256x256"
+            )
     return (jnp.asarray(bterr), jnp.asarray(rterr))
 
 

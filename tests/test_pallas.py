@@ -209,6 +209,20 @@ def test_reset_kernel_matches_spec_and_semantics():
     got = collect_reset_slab(rt, rnd, wall_tuple, rects, tril, True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # the packed-plane reset (the XLA episode rollout's in-carry reset)
+    # is bit-equal to packing the three-plane spec's output
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        _reset_math_packed,
+        pack_planes,
+    )
+
+    p_got, pos_got = _reset_math_packed(
+        rt, jnp.asarray(wall)[None, :], rects, rnd, tril
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p_got), np.asarray(pack_planes(*want[:3]))
+    )
+    np.testing.assert_array_equal(np.asarray(pos_got), np.asarray(want[3]))
     # original balls carry their placement slot
     go_np, gc_np, gs_np, _ = [np.asarray(x) for x in got]
     assert ((gs_np > 0) <= (go_np == 2)).all()
@@ -242,6 +256,7 @@ def test_packed_step_math_bit_equal_to_three_planes():
     XLA episode path's inner loop (_collect_ms_math packs at chunk
     boundaries for a third of the slab traffic)."""
     from gym_multigrid_tpu.ops.pallas_collect import (
+        _rect_bits,
         _step_math_packed,
         pack_planes,
         unpack_planes,
@@ -269,7 +284,9 @@ def test_packed_step_math_bit_equal_to_three_planes():
         go, gc, gs, pos_w, picked_w = _step_math(
             t, go, gc, gs, pos, acts, rnd, rects, tril
         )
-        p, pos, picked = _step_math_packed(t, p, pos, acts, rnd, rects, tril)
+        p, pos, picked = _step_math_packed(
+            t, p, pos, acts, rnd, _rect_bits(rects), tril
+        )
         uo, uc, us = unpack_planes(p)
         np.testing.assert_array_equal(np.asarray(uo), np.asarray(go))
         np.testing.assert_array_equal(np.asarray(uc), np.asarray(gc))

@@ -146,3 +146,60 @@ def test_agents_index_length_validated():
     with pytest.raises(ValueError, match="agents_index"):
         WildfireConfig(num_agents=3)
     WildfireConfig(num_agents=3, agents_index=(1, 4, 5))
+
+
+def test_compact_gate_rejects_unrepresentable_probabilities():
+    """The u8-threshold compact path quantizes probabilities to 1/256.
+    compact_supported must reject configs where a nonzero probability
+    rounds to threshold 0 (the event would silently never fire) or
+    lands more than 5% relative error away — those configs keep the
+    distribution-exact in-loop form (ADVICE r4: p_burnout < 1/512
+    previously slipped through the gate)."""
+    from gym_multigrid_tpu.envs.wildfire import (
+        _u8_threshold_ok,
+        compact_supported,
+        wf_tables,
+    )
+
+    # shipping defaults stay on the compact path
+    assert compact_supported(wf_tables(WildfireConfig(size=16)))
+
+    # tiny p_burnout: threshold rounds to 0 -> fires would never burn out
+    t = wf_tables(WildfireConfig(size=16, p_burnout=0.001))
+    assert t.burnout_u8 == 0
+    assert not compact_supported(t)
+
+    # representable but >5% relative error (p=0.005 -> T=1 = 1/256
+    # = 0.0039, a 22% shift) is also rejected
+    assert not _u8_threshold_ok(1, 0.005)
+    assert not compact_supported(wf_tables(WildfireConfig(size=16, p_burnout=0.005)))
+
+    # zero probabilities must stay exactly zero, not "representable"
+    assert _u8_threshold_ok(0, 0.0)
+    assert not _u8_threshold_ok(1, 0.0)
+
+
+def test_tiny_burnout_runs_on_fallback_and_still_burns_out():
+    """With p_burnout below u8 resolution the episode rollout must take
+    the plain in-loop form, where burnout events still occur at the true
+    probability (on the rejected compact form they would NEVER occur)."""
+    from gym_multigrid_tpu.envs.wildfire import wf_tables, compact_supported
+    from gym_multigrid_tpu.ops.pallas_wildfire import (
+        make_wildfire_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+    cfg = WildfireConfig(size=8, max_steps=25, p_burnout=0.002)
+    assert not compact_supported(wf_tables(cfg))
+    rollout = make_wildfire_episode_rollout(
+        cfg, use_kernel=False, rnd_mode="inloop"
+    )
+    env = make_wildfire_batch(cfg, 256)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    states, metrics = rollout(states, jax.random.PRNGKey(1), 100)
+    assert np.isfinite(float(metrics["reward_sum"]))
+    # Burnout flips fire -> burnt.  Expected burnt events over
+    # 256 envs x 100 steps x ~2+ fires x p=0.002 is >~100; seeing at
+    # least one burnt cell in the final boards is overwhelmingly likely
+    # (P(none at the end) ~ 0) yet impossible if quantized to zero.
+    assert int(jnp.sum(states.cells == BURNT)) > 0
