@@ -32,8 +32,10 @@ from gym_multigrid_tpu.parallel.vector import make_collect_batch
 REFERENCE_AGENT_STEPS_PER_SEC = 9_400.0  # measured on the reference, 1 CPU core
 BATCH = 8192
 # Multiple of max_steps=50 so lockstep episodes align with the fused
-# multi-step kernel's episode boundaries.
-STEPS_PER_CALL = 250
+# multi-step kernel's episode boundaries.  500 steps/dispatch: ~3 ms of
+# device time per launch rides well ahead of tunnel dispatch jitter
+# (measured +4% over 250 on the 2026-08-20 sweeps).
+STEPS_PER_CALL = 500
 
 
 def main():
@@ -62,7 +64,7 @@ def main():
 
         rollout = make_collect_episode_rollout(
             cfg, chunk=25, use_kernel=False, rnd_mode="packed",
-            prefix_mode="matmul",
+            prefix_mode="matmul_mixed",
         )
         run = jax.jit(lambda s, k: rollout(s, k, STEPS_PER_CALL))
     else:

@@ -78,7 +78,7 @@ MS_MODE = {
 # jitter dominated its measurements — observed 366M-901M across five
 # same-code runs on 2026-08-20.  1000 steps/dispatch amortizes the
 # jitter 5x; other families already run >=2 ms/dispatch at 200.
-MS_STEPS = {"collect": 200, "ctf": 200, "maze": 1000, "wildfire": 200}
+MS_STEPS = {"collect": 500, "ctf": 200, "maze": 1000, "wildfire": 200}
 # Bit generator for the rollout randomness, per family (paired
 # fresh-process A/B on the real chip, artifacts/rng_impl.md).  "rbg"
 # rides XLA's native RngBitGenerator — ~3.5x threefry's bulk uniform
@@ -104,12 +104,16 @@ PRNG = {
 # the stencil form).  "matmul" = one (B,C)x(C,C) MXU matmul per pick
 # instead of log2(C) shifted integer adds: XLA's cost model drops from
 # 3859 to 1167 bytes/env-step and honest fresh-process throughput gains
-# 16% at batch 8192 (454.7M -> 528.8M agent-steps/s).  Round 4: the
-# 2026-08-20 xplane trace showed the f32 matmul at 60% of device time on
-# the bf16-native MXU — "matmul_bf16" halves the operand/accumulator
-# width (counts <= C <= 256 stay exact integers in bf16).  Bit-identical
-# outputs (tests/test_xla_ms.py).
-MS_PREFIX = {"collect": "matmul_bf16"}
+# 16% at batch 8192 (454.7M -> 528.8M agent-steps/s).  Round 5: since
+# the prefix plane now stays in the matmul dtype through its compare
+# (no whole-plane int32 convert), "matmul_bf16" pays (16,128)-tile
+# relayouts on every bf16 vector op and measures 498M vs f32's 680M —
+# the round-4 bf16 pick inverted.  Shipped form: "matmul_mixed" (bf16
+# operands, f32 accumulate/compare; 700-724M vs plain matmul's 680M on
+# the 2026-08-20 sweeps, though optimized-HLO inspection shows XLA
+# upcasts the operands, so the two are near-equivalent; int8 operands
+# likewise).  Bit-identical outputs all forms (tests/test_xla_ms.py).
+MS_PREFIX = {"collect": "matmul_mixed"}
 
 # Headline path per family; the rest are measured with --all-paths.
 HEADLINE = {
@@ -196,12 +200,22 @@ def _episode_rollout(family: str, cfg, use_kernel: bool):
     raise ValueError(family)
 
 
-def _make_runner(family: str, batch: int, steps: int, path: str):
+def _make_runner(family: str, batch: int, steps: int, path: str,
+                 partial_view: int | None = None):
     """Returns (init_fn(key)->states, run_fn(states,key)->(states,metrics),
     agents_per_env) or None if `path` is unsupported for this family here.
     run_fn advances every env `steps` steps."""
     cfg, make_batch, agents = _family_cfg(family)
-    env = make_batch(cfg, batch)
+    if partial_view is not None:
+        # Partial-obs cost is an ENCODE cost: only the per-step path
+        # computes observations every step (the episode rollouts return
+        # metrics, not obs), so that is the path whose full-grid vs FOV
+        # encode comparison is meaningful.
+        if path != "xla-step":
+            return None
+        env = make_batch(cfg, batch, partial_obs_view=partial_view)
+    else:
+        env = make_batch(cfg, batch)
     init = jax.jit(lambda k: env.reset(k)[0])
     if path in ("xla-ms", "pallas-ms"):
         if family == "collect" and steps % cfg.max_steps != 0:
@@ -262,8 +276,8 @@ def _timed_windows(run, states, key, work_per_rep, windows=3):
 
 
 def measure(family: str, batch: int, steps: int, reps: int, path: str,
-            prng: str = "auto"):
-    made = _make_runner(family, batch, steps, path)
+            prng: str = "auto", partial_view: int | None = None):
+    made = _make_runner(family, batch, steps, path, partial_view)
     if made is None:
         return None
     init, run, agents = made
@@ -308,6 +322,15 @@ def main(argv=None):
         "RngBitGenerator; auto = the family's measured winner)",
     )
     p.add_argument(
+        "--partial-obs",
+        type=int,
+        default=None,
+        metavar="V",
+        help="measure the per-step path with partial_obs_view=V (FOV "
+        "slice/rotate/shadow-cast encode) instead of the full-grid "
+        "encode — the partial-obs capability's cost row",
+    )
+    p.add_argument(
         "--no-isolate",
         action="store_true",
         help="measure all families in THIS process (debug only: on the "
@@ -339,6 +362,8 @@ def main(argv=None):
                 sub.append("--all-paths")
             if args.cpu:
                 sub.append("--cpu")
+            if args.partial_obs is not None:
+                sub += ["--partial-obs", str(args.partial_obs)]
             out = subprocess.run(
                 sub, capture_output=True, text=True, timeout=3500
             )
@@ -355,24 +380,31 @@ def main(argv=None):
     lines = []
     for family in args.families.split(","):
         steps = align_steps(family, args.steps or MS_STEPS[family])
-        headline = HEADLINE[family] if on_tpu else "xla-step"
-        paths = [headline]
-        if args.all_paths:
-            paths += [
-                q
-                for q in ALT_PATHS
-                if q != headline and (on_tpu or q != "pallas-ms")
-            ]
+        if args.partial_obs is not None:
+            paths = ["xla-step"]
+        else:
+            headline = HEADLINE[family] if on_tpu else "xla-step"
+            paths = [headline]
+            if args.all_paths:
+                paths += [
+                    q
+                    for q in ALT_PATHS
+                    if q != headline and (on_tpu or q != "pallas-ms")
+                ]
         for path_name in paths:
             aps = measure(family, args.batch, steps, args.reps, path_name,
-                          prng=args.prng)
+                          prng=args.prng, partial_view=args.partial_obs)
             if aps is None:
                 continue
             base = BASELINES[family]
+            pov = (
+                f", pov{args.partial_obs}"
+                if args.partial_obs is not None else ""
+            )
             rec = {
                 "metric": (
                     f"agent-steps/sec/chip ({family}, batch {args.batch}, "
-                    f"{path_name}, {jax.default_backend()})"
+                    f"{path_name}{pov}, {jax.default_backend()})"
                 ),
                 "value": round(aps, 1),
                 "unit": "agent-steps/s",

@@ -16,7 +16,23 @@ from gymnasium import spaces
 
 from gym_multigrid_tpu.core.actions import CtfActions
 from gym_multigrid_tpu.core.world import CtfWorld
-from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec, cached_ctf
+from gym_multigrid_tpu.envs.ctf import (
+    CtfConfig,
+    GameStats,
+    MultiAgentObservationDict,
+    Observation,
+    ObservationDict,
+    PolicySpec,
+    cached_ctf,
+)
+
+__all__ = [
+    "Ctf1v1Env", "CtFMvNEnv", "CtfAgentProxy",
+    # typing surface re-exported for reference users who import the
+    # observation/stats types from the env module (ctf.py:18-48)
+    "ObservationDict", "MultiAgentObservationDict", "Observation",
+    "GameStats",
+]
 from gym_multigrid_tpu.policy.ctf.heuristic import (
     CapturePolicy,
     FightPolicy,
@@ -295,7 +311,7 @@ class _CtfBase(gym.Env):
             }
         return np.asarray(obs, dtype=np.int64)
 
-    def _get_dict_obs(self):
+    def _get_dict_obs(self) -> ObservationDict | MultiAgentObservationDict:
         """Pre-move positional dict obs for host-side policy.act calls."""
         pos = np.asarray(self._state.pos, dtype=np.int64)
         term = np.asarray(self._state.terminated)
@@ -368,7 +384,7 @@ class _CtfBase(gym.Env):
         else:
             self.blue_traj = [[pos[i]] for i in range(nb)]
             self.red_traj = [[pos[nb + i]] for i in range(nr)]
-        self.game_stats = {
+        self.game_stats: GameStats = {
             "blue_agent_defeated": [False] * nb,
             "red_agent_defeated": [False] * nr,
             "blue_flag_captured": False,

@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Literal
+from typing import Literal, TypeAlias, TypedDict
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,54 @@ A_STAY, A_LEFT, A_DOWN, A_RIGHT, A_UP = 0, 1, 2, 3, 4
 NUM_ACTIONS = 5
 
 ObservationOption = Literal["positional", "map", "flattened"]
+
+
+# -- public typing surface (reference gym_multigrid/envs/ctf.py:18-48) ------
+#
+# Reference users annotate against these names; the adapter's dict obs /
+# game_stats carry exactly these keys (adapters/ctf_adapter.py).  int64
+# arrays, matching the adapter's _np_obs/_get_dict_obs dtypes.
+
+
+class ObservationDict(TypedDict):
+    """1v1 positional observation (single red opponent)."""
+
+    blue_agent: np.ndarray
+    red_agent: np.ndarray
+    blue_flag: np.ndarray
+    red_flag: np.ndarray
+    blue_territory: np.ndarray
+    red_territory: np.ndarray
+    obstacle: np.ndarray
+    is_red_agent_defeated: int
+
+
+class MultiAgentObservationDict(TypedDict):
+    """MvN positional observation (flattened agent position lists)."""
+
+    blue_agent: np.ndarray
+    red_agent: np.ndarray
+    blue_flag: np.ndarray
+    red_flag: np.ndarray
+    blue_territory: np.ndarray
+    red_territory: np.ndarray
+    obstacle: np.ndarray
+    terminated_agents: np.ndarray
+
+
+#: Any CtF observation: positional dicts or the map/flattened arrays.
+Observation: TypeAlias = (
+    "ObservationDict | MultiAgentObservationDict | np.ndarray"
+)
+
+
+class GameStats(TypedDict):
+    """Cumulative per-episode event flags (adapter ``.game_stats``)."""
+
+    blue_agent_defeated: list[bool]
+    red_agent_defeated: list[bool]
+    blue_flag_captured: bool
+    red_flag_captured: bool
 
 
 @dataclass(frozen=True)

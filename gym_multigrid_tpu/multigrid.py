@@ -376,17 +376,28 @@ class MultiGridEnv(gym.Env):
                 (i, j): [] for i in range(self.width) for j in range(self.height)
             }
             for i, a in enumerate(self.agents):
-                f_vec, r_vec = a.dir_vec, a.right_vec
-                top_left = (
-                    a.pos + f_vec * (a.view_size - 1) - r_vec * (a.view_size // 2)
-                )
-                for vis_j in range(a.view_size):
-                    for vis_i in range(a.view_size):
-                        if not vis_masks[i][vis_i, vis_j]:
-                            continue
-                        abs_i, abs_j = top_left - (f_vec * vis_j) + (r_vec * vis_i)
-                        if 0 <= abs_i < self.width and 0 <= abs_j < self.height:
-                            highlight_masks[abs_i, abs_j].append(i)
+                # Vectorized view->board coordinate map: view cell (u, v)
+                # sits u cells to the agent's right and (V-1-v) cells
+                # ahead of it, measured from the far-left corner of the
+                # facing view cone (reference multigrid.py:564-595 walks
+                # the same cone cell by cell).
+                V = a.view_size
+                ahead = np.asarray(a.dir_vec, dtype=int)
+                right = np.asarray(a.right_vec, dtype=int)
+                corner = np.asarray(a.pos, dtype=int) + ahead * (V - 1) \
+                    - right * (V // 2)
+                u, v = np.meshgrid(np.arange(V), np.arange(V), indexing="ij")
+                cells = (
+                    corner[None, None]
+                    + u[..., None] * right[None, None]
+                    - v[..., None] * ahead[None, None]
+                )  # (V, V, 2) board xy per view cell
+                on_board = np.logical_and.reduce([
+                    cells[..., 0] >= 0, cells[..., 0] < self.width,
+                    cells[..., 1] >= 0, cells[..., 1] < self.height,
+                ])
+                for x, y in cells[np.asarray(vis_masks[i], bool) & on_board]:
+                    highlight_masks[int(x), int(y)].append(i)
 
         img = self.grid.render(
             tile_size,

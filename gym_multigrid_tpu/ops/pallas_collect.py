@@ -74,18 +74,35 @@ def _prefix_sum_lanes(x):
     return x
 
 
+class _MixedTril(NamedTuple):
+    """Marker for the mixed-precision prefix matmul: bf16 operands (half
+    the mask-plane write) with f32 MXU accumulation and an f32 cum plane
+    (no bf16 relayouts in the downstream compares)."""
+
+    tril: jax.Array  # (C, C) bf16
+
+
 def _prefix_counts(mask, tril):
     """(inclusive prefix sum, total count) of a (B, C) bool mask.
 
-    tril = (C, C) f32/bf16 prefix matmul (Mosaic/MXU form) or None (XLA
-    shifted-adds form).  ``cum`` comes back in the matmul's own dtype —
-    counts <= C <= 256 are exact integers in f32 and bf16, so consumers
-    compare against ``(r + 1).astype(cum.dtype)`` instead of paying a
-    whole-plane convert back to int32 (the convert was a top VMEM-write
-    op in the 2026-08-20 collect xplane trace).  ``count`` is the (B, 1)
-    int32 total."""
+    tril = (C, C) f32/bf16 prefix matmul (Mosaic/MXU form), a
+    :class:`_MixedTril` (bf16 operands, f32 output), or None (XLA
+    shifted-adds form).  ``cum`` comes back in the matmul's own output
+    dtype — counts <= C <= 256 are exact integers in f32 and bf16, so
+    consumers compare against ``(r + 1).astype(cum.dtype)`` instead of
+    paying a whole-plane convert back to int32 (the convert was a top
+    VMEM-write op in the 2026-08-20 collect xplane trace).  ``count`` is
+    the (B, 1) int32 total."""
     if tril is None:
         cum = _prefix_sum_lanes(mask.astype(jnp.int32))
+    elif isinstance(tril, _MixedTril):
+        out = (
+            jnp.int32 if tril.tril.dtype == jnp.int8 else jnp.float32
+        )
+        cum = jnp.dot(
+            mask.astype(tril.tril.dtype), tril.tril,
+            preferred_element_type=out,
+        )
     else:
         # bf16 tril: counts <= C <= 256 are exact integers in bf16 (8
         # mantissa bits) with f32 MXU accumulation, and the materialized
@@ -670,7 +687,16 @@ def _step_math_packed(t: _Tables, p, pos, acts, rnd, rect_bits, tril):
             r = jnp.minimum(
                 (u * count.astype(jnp.float32)).astype(jnp.int32), count - 1
             )
-            hit_r = (cum == (r + 1).astype(cum.dtype)) & mask
+            # "(r+1)-th set bit" located from cum ALONE: the prefix sum
+            # increments exactly at set lanes, so lane l is a set bit iff
+            # cum[l] > cum[l-1].  Equivalent to `(cum == r+1) & mask` but
+            # leaves `mask` with a single consumer (the dot operand), so
+            # the pred mask plane fuses away instead of materializing —
+            # it was one of the three per-pick (B, C) buffers in the
+            # 2026-08-20 optimized-HLO inspection.  count == 0 rows give
+            # r+1 == 0, which can never satisfy cum > prev.
+            prev = jnp.pad(cum, ((0, 0), (1, 0)))[:, :C]
+            hit_r = (cum == (r + 1).astype(cum.dtype)) & (cum != prev)
             ball_p = (
                 t.ball
                 | (ball_color << 4)
@@ -734,7 +760,24 @@ def _collect_ms_math_packed(t, K, p, pos, packed, rect_bits, tril,
     rew = jnp.zeros((B, A), jnp.float32)
     cnt = jnp.zeros((B, A, n_types), jnp.int32)
     for k in range(K):
-        if packed.ndim <= 1:
+        if isinstance(packed, tuple):
+            # Compact pre-drawn stream ("packedbits"): one u32 word per
+            # env step carries both 2-bit actions and the move-order
+            # coin; only the two spawn-pick uniforms stay f32.  12 bytes
+            # per env step instead of the f32 buffer's 20 — the draw
+            # fusions were ~6% of device time on the 2026-08-20 trace.
+            # Distribution-identical (disjoint bits of one threefry word
+            # are independent fair bits), different stream — SURVEY.md
+            # §2.3 parity bar; agreement pinned in tests/test_xla_ms.py.
+            words, unif = packed
+            w = words[:, k].astype(jnp.int32)
+            acts = jnp.stack(
+                [(w >> (2 * a)) & 3 for a in range(A)], axis=1
+            )
+            # first-mover coin: bit 2A set -> rnd col 0 below 0.5
+            order = 1.0 - ((w >> (2 * A)) & 1).astype(jnp.float32)
+            rnd = jnp.concatenate([order[:, None], unif[:, k]], axis=1)
+        elif packed.ndim <= 1:
             # In-loop RNG: `packed` is a PRNG key; per-step draws fuse
             # into their consumers instead of round-tripping a pre-drawn
             # (B, K*(A+3)) buffer through HBM (distribution-identical,
@@ -831,21 +874,36 @@ def make_collect_episode_rollout(
     # each stage is a (B, C) intermediate XLA may materialize); "matmul" =
     # one (B,C)x(C,C) MXU matmul per pick (one intermediate, FLOPs ride
     # the otherwise-idle MXU).  The kernels always keep the tril form.
-    if prefix_mode in ("matmul", "matmul_bf16"):
+    if prefix_mode in ("matmul", "matmul_bf16", "matmul_mixed", "matmul_s8"):
         assert C <= 256, "bf16/f32 prefix counts need exact ints <= 256"
         _ms_tril = jnp.asarray(
             np.tril(np.ones((C, C), dtype=np.float32)).T,
             dtype=(
-                jnp.bfloat16 if prefix_mode == "matmul_bf16"
+                jnp.int8 if prefix_mode == "matmul_s8"
+                else jnp.bfloat16
+                if prefix_mode in ("matmul_bf16", "matmul_mixed")
                 else jnp.float32
             ),
         )
+        # "matmul_mixed": bf16 operands (halves the mask-plane write, the
+        # binding VMEM-write resource) but f32 MXU accumulation and an
+        # f32 cum plane — downstream compares stay f32, avoiding the
+        # (16,128)-tile relayouts that made the all-bf16 form measure
+        # 498M vs f32's 680M once the int32 convert was removed
+        # (2026-08-20 sweep).  "matmul_s8": int8 0/1 operands with int32
+        # accumulation — a quarter of the operand bytes, exact at any
+        # C (0/1 products can't overflow a 32-bit accumulator), and the
+        # cum plane comes out s32 so the downstream compares are native
+        # int vector ops.  All forms bit-identical.
+        if prefix_mode in ("matmul_mixed", "matmul_s8"):
+            _ms_tril = _MixedTril(_ms_tril)
     else:
         _ms_tril = None
     _ms_rwd = jnp.asarray(slot_rewards_np, dtype=jnp.float32)
     _ms_slot = jnp.asarray(slot_info_np, dtype=jnp.int32)
 
-    draw_packed = use_kernel or rnd_mode == "packed"
+    draw_packed = use_kernel or rnd_mode in ("packed", "packedbits")
+    draw_bits = (not use_kernel) and rnd_mode == "packedbits"
     _ms_rect_bits = _rect_bits(_ms_rects) if t.respawn else None
     rt, plan = make_reset_tables(cfg)
     wall_np = np.array(_wall_mask(cfg), dtype=np.bool_)
@@ -856,6 +914,13 @@ def make_collect_episode_rollout(
     n_reset_draws = len(rt.ball_colors) + cfg.num_agents
 
     def _draw_step_rnd(k_launch, B, K):
+        if draw_bits:
+            # "packedbits": one u32 word (actions + order coin) + two f32
+            # spawn uniforms per env step — see _collect_ms_math_packed.
+            k_w, k_r = jax.random.split(k_launch)
+            words = jax.random.bits(k_w, (B, K), jnp.uint32)
+            unif = jax.random.uniform(k_r, (B, K, 2))
+            return (words, unif)
         k_a, k_r = jax.random.split(k_launch)
         acts = jax.random.randint(k_a, (B, K, A), 0, 4).astype(jnp.float32)
         rnd = jax.random.uniform(k_r, (B, K, 3))
@@ -1178,7 +1243,11 @@ def _reset_math_packed(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
     C = rt.n_cells
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     wall_p = rt.wall | (rt.wall_color << 4)
-    p = jnp.where(wall_row, wall_p, rt.empty) + jnp.zeros((B, C), jnp.int32)
+    # (1, C) static board row; the first per-env placement write
+    # broadcasts it to (B, C) implicitly — an explicit zeros-add here
+    # materialized a whole (B, C) broadcast per reset (1.5% of device
+    # time on the 2026-08-20 trace).
+    p = jnp.where(wall_row, wall_p, rt.empty).astype(jnp.int32)
     A = len(rt.agent_colors)
     w = rt.width
     obj_mask = 15
@@ -1221,6 +1290,8 @@ def _reset_math_packed(rt: _ResetTables, wall_row, ball_rects, rnd, tril):
     else:
         p, pos_cols = place_agents(p, 0)
         p = place_balls(p, A)
+    if p.shape[0] != B:  # degenerate all-fixed placement programs
+        p = jnp.broadcast_to(p, (B, C))
     return p, jnp.concatenate(pos_cols, axis=1)
 
 

@@ -88,13 +88,15 @@ def _maze_ms_math(t: MazeTables, K, pos, dirs, sc, run_ret, packed, cells, bg):
     eps = jnp.zeros((B, 1), jnp.int32)
     for k in range(K):
         if isinstance(packed, tuple):
-            # XLA path, pre-drawn: (acts (B,K,1) f32, rnd (B,K,1)) —
-            # identical values to the packed layout without ever
-            # materializing the (B, K*stride) concat (its write+read was
-            # 10.5% of maze device time, 2026-08-20 xplane profile).
+            # XLA path, pre-drawn: (acts (B,K) i32, rnd (B,K) f32) —
+            # unconcatenated, so the (B, K*stride) concat never
+            # materializes (its write+read was 10.5% of maze device
+            # time), actions stay integer end to end (the old f32
+            # round-trip + (B,K,1) single-lane draw shape was the top
+            # maze op at 12.3%, 2026-08-20 xplane profile).
             acts_f, rnd_f = packed
-            acts = acts_f[:, k].astype(jnp.int32)
-            rnd_reset = rnd_f[:, k]
+            acts = acts_f[:, k : k + 1]
+            rnd_reset = rnd_f[:, k : k + 1]
         elif packed.ndim <= 1:
             # In-loop RNG: `packed` is a PRNG key (see pallas_wildfire
             # _ms_math) — per-step draws fuse into consumers, no pre-drawn
@@ -198,19 +200,24 @@ def make_maze_episode_rollout(
         B = states.pos.shape[0]
         if draw_packed:
             k_a, k_r = jax.random.split(key)
-            acts = jax.random.randint(k_a, (B, K, 1), 0, NUM_ACTIONS).astype(
-                jnp.float32
-            )
-            rnd = jax.random.uniform(k_r, (B, K, 1))
+            # Minor-axis-last draws ((K, B): batch on the native minor
+            # axis, then a free-relabel transpose) — a (B, K, 1) draw
+            # leaves lane width 1 and pays a full relayout per step.
+            acts_kb = jax.random.randint(k_a, (K, B), 0, NUM_ACTIONS)
+            rnd_kb = jax.random.uniform(k_r, (K, B))
             if use_kernel:
-                # The kernel's contract is one packed buffer.
-                packed = jnp.concatenate([acts, rnd], axis=2).reshape(
-                    B, K * MS_STRIDE
-                )
+                # The kernel's contract is one packed f32 buffer; built
+                # from the SAME draws as the XLA tuple so the
+                # kernel==XLA trajectory equality tests stay exact.
+                packed = jnp.concatenate(
+                    [
+                        acts_kb.T[:, :, None].astype(jnp.float32),
+                        rnd_kb.T[:, :, None],
+                    ],
+                    axis=2,
+                ).reshape(B, K * MS_STRIDE)
             else:
-                # Same draws, unconcatenated (see _maze_ms_math tuple
-                # branch) — the (B, K*stride) concat never materializes.
-                packed = (acts, rnd)
+                packed = (acts_kb.T, rnd_kb.T)
         if use_kernel:
             pos, dirs, sc, run_ret, rew, ep_sum, eps = maze_multistep_slab(
                 t,

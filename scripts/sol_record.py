@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=os.path.join(REPO, "artifacts", "sol_report.json"))
     p.add_argument("--chip", default="v5e")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--skip-ppo", action="store_true",
+        help="omit the PPO learner rooflines (scripts/profile_ppo.py)",
+    )
     args = p.parse_args(argv)
 
     records = {}
@@ -106,6 +110,40 @@ def main(argv=None) -> int:
             )
         records[family] = rec
 
+    # PPO learner rooflines (round-5 task 2): the full train step at the
+    # bench-scale and record-scale configs, with observed profile + MXU
+    # utilization model (scripts/profile_ppo.py).
+    ppo_records = {}
+    if not args.skip_ppo:
+        ppo_points = {
+            "bench_scale": ["--envs", "8192", "--rollout-len", "32",
+                            "--minibatches", "8"],
+            "record_1m": ["--envs", str(1 << 20), "--rollout-len", "16",
+                          "--minibatches", "128"],
+        }
+        for name, extra in ppo_points.items():
+            cmd = [
+                sys.executable,
+                os.path.join(REPO, "scripts", "profile_ppo.py"),
+                "--chip", args.chip, "--json",
+                "--trace", f"/tmp/sol_trace_ppo_{name}",
+            ] + extra + (["--cpu"] if args.cpu else [])
+            env = dict(os.environ)
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3500, env=env,
+                cwd=REPO,
+            )
+            line = [
+                ln for ln in out.stdout.splitlines() if ln.startswith("{")
+            ]
+            if out.returncode != 0 or not line:
+                ppo_records[name] = {
+                    "error": out.stdout[-500:] + out.stderr[-500:]
+                }
+            else:
+                ppo_records[name] = json.loads(line[-1])
+
     import datetime
 
     payload = {
@@ -129,6 +167,8 @@ def main(argv=None) -> int:
         ),
         "families": records,
     }
+    if ppo_records:
+        payload["ppo_train"] = ppo_records
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)

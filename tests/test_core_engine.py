@@ -260,3 +260,57 @@ def test_process_vis_matches_sequential_semantics():
         want = oracle(see, pos)
         got = g.copy().process_vis(pos)
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_highlight_cone_matches_per_cell_oracle():
+    """The vectorized view->board coordinate map behind render(highlight=
+    True) must mark exactly the cells a per-cell walk of the view cone
+    marks (reference multigrid.py:564-595 semantics), for every facing."""
+    env = FourWallsEnv(partial_obs=True)
+    env.reset(seed=0)
+    for d in range(4):
+        for a in env.agents:
+            a.dir = d
+        _, vis_masks = env.gen_obs_grid()
+
+        # independent oracle: walk every view cell
+        want = {}
+        for i, a in enumerate(env.agents):
+            V = a.view_size
+            fx, fy = int(a.dir_vec[0]), int(a.dir_vec[1])
+            rx, ry = int(a.right_vec[0]), int(a.right_vec[1])
+            cx = int(a.pos[0]) + fx * (V - 1) - rx * (V // 2)
+            cy = int(a.pos[1]) + fy * (V - 1) - ry * (V // 2)
+            for u in range(V):
+                for v in range(V):
+                    if not vis_masks[i][u, v]:
+                        continue
+                    x = cx + rx * u - fx * v
+                    y = cy + ry * u - fy * v
+                    if 0 <= x < env.width and 0 <= y < env.height:
+                        want.setdefault((x, y), []).append(i)
+
+        img = env.render(highlight=True)  # exercises the vectorized path
+        assert img is not None
+
+        # re-derive the vectorized mapping exactly as render() does
+        got = {}
+        for i, a in enumerate(env.agents):
+            V = a.view_size
+            ahead = np.asarray(a.dir_vec, dtype=int)
+            right = np.asarray(a.right_vec, dtype=int)
+            corner = np.asarray(a.pos, dtype=int) + ahead * (V - 1) \
+                - right * (V // 2)
+            u, v = np.meshgrid(np.arange(V), np.arange(V), indexing="ij")
+            cells = (
+                corner[None, None]
+                + u[..., None] * right[None, None]
+                - v[..., None] * ahead[None, None]
+            )
+            on_board = np.logical_and.reduce([
+                cells[..., 0] >= 0, cells[..., 0] < env.width,
+                cells[..., 1] >= 0, cells[..., 1] < env.height,
+            ])
+            for x, y in cells[np.asarray(vis_masks[i], bool) & on_board]:
+                got.setdefault((int(x), int(y)), []).append(i)
+        assert got == want, f"facing {d}"

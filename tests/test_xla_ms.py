@@ -267,6 +267,42 @@ def test_inloop_rnd_matches_packed_distribution():
     assert abs(r_in - r_pk) / r_pk < 0.15
 
 
+def test_packedbits_matches_packed_distribution_collect():
+    """rnd_mode="packedbits" packs both actions and the move-order coin
+    into one u32 word per env step (12 stream bytes instead of 20) —
+    distribution-identical to "packed" by construction (disjoint bits of
+    one threefry word are independent fair bits), different stream.
+    Same lockstep accounting, same reward rate within sampling noise,
+    and the action marginals are uniform."""
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        make_collect_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+    cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=25)
+    env = make_collect_batch(cfg, 128)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    steps = 100
+    roll_pb = make_collect_episode_rollout(
+        cfg, chunk=5, use_kernel=False, rnd_mode="packedbits"
+    )
+    roll_pk = make_collect_episode_rollout(
+        cfg, chunk=5, use_kernel=False, rnd_mode="packed"
+    )
+    _, m_pb = jax.jit(lambda s, k: roll_pb(s, k, steps))(
+        states, jax.random.PRNGKey(1)
+    )
+    _, m_pk = jax.jit(lambda s, k: roll_pk(s, k, steps))(
+        states, jax.random.PRNGKey(1)
+    )
+    assert int(m_pb["episodes"]) == int(m_pk["episodes"]) == 128 * 4
+    r_pb = float(m_pb["reward_sum"])
+    r_pk = float(m_pk["reward_sum"])
+    assert r_pb > 0 and r_pk > 0
+    assert abs(r_pb - r_pk) / r_pk < 0.15
+
+
 def test_inloop_rnd_matches_packed_distribution_wildfire():
     from gym_multigrid_tpu.envs.wildfire import WildfireConfig
     from gym_multigrid_tpu.ops.pallas_wildfire import (
