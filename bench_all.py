@@ -10,11 +10,13 @@ driver-facing single-metric harness stays in bench.py):
 Paths (scripts/sweep_paths.py is the dev tool that picked the headlines):
 
 - "xla-ms"      K env steps per launch as one plain-XLA program with bulk
-                pre-drawn randomness and fused auto-reset (the multi-step
-                kernels' math via use_kernel=False).  Headline for every
-                family at the 200-step default windows.
+                pre-drawn randomness and fused auto-reset.  Headline for
+                every family.
 - "xla-step"    per-step slab math under BatchedEnv.rollout's lax.scan.
-- "pallas-ms"   the fused multi-step Pallas episode kernels (TPU only).
+
+(A "pallas-ms" path — fused multi-step episode kernels — existed through
+round 4 and was pruned after the slab-width sweep left it 5-8x behind
+xla-ms at every VMEM-feasible point: artifacts/kernel_vs_xla.md.)
 
 vs_baseline divides by the reference's measured single-core throughput
 (BASELINE.md); Wildfire has no reference implementation, so its
@@ -60,11 +62,9 @@ BASELINES = {
 # (wildfire: 518 f32/env/step).  Where the stream is small (collect 5,
 # maze 2, ctf ~20 f32/step), bulk pre-drawing ("packed") vectorizes the
 # RNG better and stays ahead (artifacts/inloop_rng.md has the full
-# sweep).  The kernels are capped by scoped VMEM, which grows with
-# unroll length (~16 MB limit), so they keep shallower chunks.
+# sweep).
 MS_CHUNKS = {
     "xla-ms": {"collect": 25, "ctf": 50, "maze": 100, "wildfire": 24},
-    "pallas-ms": {"collect": 15, "ctf": 25, "maze": 25, "wildfire": 8},
 }
 MS_MODE = {
     "collect": "packed",
@@ -115,6 +115,17 @@ PRNG = {
 # likewise).  Bit-identical outputs all forms (tests/test_xla_ms.py).
 MS_PREFIX = {"collect": "matmul_mixed"}
 
+# Expected TPU headline per family at batch 8192 (2026-08-20 round-5
+# freeze).  ±30% bands: the paths ride XLA lowering details (rbg,
+# fusion choices) a toolchain bump can silently change — out-of-band
+# results warn loudly instead of drifting (VERDICT r4 weak #7).
+EXPECTED_TPU = {
+    "collect": 815e6,
+    "ctf": 1086e6,
+    "maze": 1386e6,
+    "wildfire": 252e6,
+}
+
 # Headline path per family; the rest are measured with --all-paths.
 HEADLINE = {
     "collect": "xla-ms",
@@ -122,7 +133,7 @@ HEADLINE = {
     "maze": "xla-ms",
     "wildfire": "xla-ms",
 }
-ALT_PATHS = ("xla-step", "xla-ms", "pallas-ms")
+ALT_PATHS = ("xla-step", "xla-ms")
 
 
 def _family_cfg(family: str):
@@ -165,8 +176,8 @@ def _family_cfg(family: str):
     raise ValueError(family)
 
 
-def _episode_rollout(family: str, cfg, use_kernel: bool):
-    chunk = MS_CHUNKS["pallas-ms" if use_kernel else "xla-ms"][family]
+def _episode_rollout(family: str, cfg):
+    chunk = MS_CHUNKS["xla-ms"][family]
     mode = MS_MODE[family]
     if family == "collect":
         from gym_multigrid_tpu.ops.pallas_collect import (
@@ -174,29 +185,23 @@ def _episode_rollout(family: str, cfg, use_kernel: bool):
         )
 
         return make_collect_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode,
-            prefix_mode=MS_PREFIX["collect"] if not use_kernel else "adds",
+            cfg, chunk=chunk, rnd_mode=mode,
+            prefix_mode=MS_PREFIX["collect"],
         )
     if family == "ctf":
         from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
 
-        return make_ctf_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode
-        )
+        return make_ctf_episode_rollout(cfg, chunk=chunk, rnd_mode=mode)
     if family == "maze":
         from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
 
-        return make_maze_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode
-        )
+        return make_maze_episode_rollout(cfg, chunk=chunk, rnd_mode=mode)
     if family == "wildfire":
         from gym_multigrid_tpu.ops.pallas_wildfire import (
             make_wildfire_episode_rollout,
         )
 
-        return make_wildfire_episode_rollout(
-            cfg, chunk=chunk, use_kernel=use_kernel, rnd_mode=mode
-        )
+        return make_wildfire_episode_rollout(cfg, chunk=chunk, rnd_mode=mode)
     raise ValueError(family)
 
 
@@ -217,10 +222,10 @@ def _make_runner(family: str, batch: int, steps: int, path: str,
     else:
         env = make_batch(cfg, batch)
     init = jax.jit(lambda k: env.reset(k)[0])
-    if path in ("xla-ms", "pallas-ms"):
+    if path == "xla-ms":
         if family == "collect" and steps % cfg.max_steps != 0:
             return None  # episode rollout needs episode-aligned steps
-        ro = _episode_rollout(family, cfg, path == "pallas-ms")
+        ro = _episode_rollout(family, cfg)
         if ro is None:
             return None
         return init, jax.jit(lambda s, k: ro(s, k, steps)), agents
@@ -386,11 +391,7 @@ def main(argv=None):
             headline = HEADLINE[family] if on_tpu else "xla-step"
             paths = [headline]
             if args.all_paths:
-                paths += [
-                    q
-                    for q in ALT_PATHS
-                    if q != headline and (on_tpu or q != "pallas-ms")
-                ]
+                paths += [q for q in ALT_PATHS if q != headline]
         for path_name in paths:
             aps = measure(family, args.batch, steps, args.reps, path_name,
                           prng=args.prng, partial_view=args.partial_obs)
@@ -410,6 +411,23 @@ def main(argv=None):
                 "unit": "agent-steps/s",
                 "vs_baseline": round(aps / base, 2),
             }
+            if (
+                on_tpu
+                and path_name == HEADLINE[family]
+                and args.batch == 8192
+                and args.partial_obs is None
+                and family in EXPECTED_TPU
+            ):
+                lo = 0.7 * EXPECTED_TPU[family]
+                hi = 1.3 * EXPECTED_TPU[family]
+                rec["band_ok"] = bool(lo <= aps <= hi)
+                if not rec["band_ok"]:
+                    sys.stderr.write(
+                        f"WARNING: {family} headline {aps:.3g} outside "
+                        f"expected band [{lo:.3g}, {hi:.3g}] — check for "
+                        "a toolchain/lowering change (bench_all."
+                        "EXPECTED_TPU)\n"
+                    )
             lines.append(rec)
             print(json.dumps(rec))
             sys.stdout.flush()

@@ -178,7 +178,7 @@ def measure_point(
     if path == "xla-ms":
         import bench_all
 
-        ro = bench_all._episode_rollout(family, cfg, use_kernel=False)
+        ro = bench_all._episode_rollout(family, cfg)
         rollout = sharded_episode_rollout(ro, mesh)
     else:
         rollout = sharded_rollout(env, mesh)

@@ -516,11 +516,19 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
     fire_cnt = jnp.sum(
         (cells == FIRE).astype(jnp.int32), axis=1, keepdims=True
     )
-    # Spread stencil as ONE bf16 MXU matmul per step: the lane-shift form
-    # (4 pads + masks + adds) was 40% of device time on the VPU with the
-    # MXU idle (2026-08-20 xplane trace); fire_row @ adjacency is exact in
-    # bf16 (0/1 inputs, counts <= 4) and overlaps with the VPU work.
-    adj_bf16 = jnp.asarray(adjacency(t), dtype=jnp.bfloat16)
+    # Spread stencil, size-gated (round-5 task 3): up to 24x24 it runs as
+    # ONE bf16 MXU matmul per step — the lane-shift form (4 pads + masks
+    # + adds) was 40% of device time on the VPU with the MXU idle
+    # (2026-08-20 xplane trace); fire_row @ adjacency is exact in bf16
+    # (0/1 inputs, counts <= 4) and overlaps with the VPU work.  The
+    # (C, C) adjacency grows quadratically though: at 32x32 it alone
+    # cost ~25% of the per-cell work rate (artifacts/board_scaling.md),
+    # so large boards switch back to the matmul-free lane-shift stencil
+    # (_neighbor_fires — bit-identical integers either way).
+    use_adj = t.n_cells <= 576
+    adj_bf16 = (
+        jnp.asarray(adjacency(t), dtype=jnp.bfloat16) if use_adj else None
+    )
     # ignite/burnout bit offsets in the packed reduce: 11-bit fields
     # hold counts <= 2047 (compact_supported gates n_cells <= 2047,
     # covering 32x32=1024 and up to 45x45); max sum = 4 + 2047<<3 +
@@ -587,13 +595,18 @@ def wf_compact_ms(t: WfTables, K: int, cells, pos, sc, ext, run_ret, key):
         put_out = occ & (cells == FIRE)
         cells1 = jnp.where(put_out, BURNT, cells)
 
-        fire_row = (cells1 == FIRE).astype(jnp.bfloat16)
-        nb = jnp.dot(
-            fire_row, adj_bf16, preferred_element_type=jnp.float32
-        )
+        if use_adj:
+            fire_row = (cells1 == FIRE).astype(jnp.bfloat16)
+            nb = jnp.dot(
+                fire_row, adj_bf16, preferred_element_type=jnp.float32
+            )
+            nb_vals = [float(n) for n in range(1, 5)]
+        else:
+            nb = _neighbor_fires(t, cells1)  # int8 counts, lane shifts
+            nb_vals = [jnp.int8(n) for n in range(1, 5)]
         thr = jnp.zeros((B, C), jnp.uint8)
-        for n in range(1, 5):
-            thr = jnp.where(nb == float(n), jnp.uint8(t.ignite_u8[n]), thr)
+        for n, v in zip(range(1, 5), nb_vals):
+            thr = jnp.where(nb == v, jnp.uint8(t.ignite_u8[n]), thr)
         ignite = (cells1 == TREE) & (field < thr)
         burnout = (cells1 == FIRE) & (field < jnp.uint8(t.burnout_u8))
         cells2 = jnp.where(burnout, BURNT, jnp.where(ignite, FIRE, cells1))

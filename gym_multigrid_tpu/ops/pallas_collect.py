@@ -456,118 +456,6 @@ def make_collect_step_batch(cfg, interpret: bool | None = None,
     return step_batch
 
 
-# ---------------------------------------------------------------------------
-# Multi-step episode kernel
-# ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
-def collect_multistep_slab(t, go, gc, gs, pos, acts_rnd, K, reward_slot, n_types, interpret=False):
-    """K fused env steps per kernel launch.
-
-    acts_rnd: (B, K*(A+3)) — per step A int32 actions (as float-cast ints)
-    then 3 uniforms, packed so a single 2D ref feeds the kernel.  Outputs:
-    final planes/pos plus per-env accumulated rewards (B, A) and pickup
-    counters (B, A*n_types).  reward_slot = (slot_rewards, slot_info)
-    static tuples keyed by the reward-table slot _step_math reports.  The
-    K-step loop is unrolled at trace time (static column slices; Mosaic
-    dislikes tiny-lane 3D blocks).
-    """
-    B, C = go.shape
-    A = pos.shape[1] // 2
-    # Smaller slab than the single-step kernel: the unrolled K-step body
-    # keeps more live VMEM per row (chunk=10 at 512 rows OOMs the 16MB
-    # scoped budget); launches amortize over K so small blocks stay fast.
-    blk = min(MS_BLK, B)
-    grid = (pl.cdiv(B, blk),)
-    rects = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
-    n_colors = rects.shape[0]
-    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
-    rwd_tab, slot_tab = reward_slot
-
-    n_slots = len(rwd_tab)
-
-    def kernel(gp_ref, pos_ref, ar_ref, rects_ref, tril_ref,
-               rwd_ref, info_ref, gp_out, pos_out, rew_out, cnt_out):
-        # One packed plane (obj|color<<4|slot<<8) instead of three: a third
-        # of the per-row VMEM footprint, which is what caps the unroll
-        # depth (Mosaic stacks per-step temporaries), and one select per
-        # masked update inside the step.
-        gp_k, pos_k = gp_ref[:], pos_ref[:]
-        ar = ar_ref[:]
-        blk_rows = gp_k.shape[0]
-        rew = jnp.zeros((blk_rows, A), dtype=jnp.float32)
-        cnt = jnp.zeros((blk_rows, A * n_types), dtype=jnp.int32)
-        cnt_lane = jax.lax.broadcasted_iota(jnp.int32, (1, A * n_types), 1)
-        slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_slots), 1)
-        a_lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
-        rect_bits = _rect_bits(rects_ref[:])  # hoisted out of the K loop
-        for k in range(K):
-            base = k * (A + 3)
-            acts = ar[:, base : base + A].astype(jnp.int32)
-            rnd = ar[:, base + A : base + A + 3]
-            gp_k, pos_k, picked = _step_math_packed(
-                t, gp_k, pos_k, acts, rnd, rect_bits, tril_ref[:],
-            )
-            # slot-keyed reward/counter accumulation: table rows come in as
-            # (1, n_slots) refs and are selected with iota compares (no
-            # gather/scatter lowering on Mosaic).
-            for a in range(A):
-                pa = picked[:, a : a + 1]  # (blk, 1), -1 = nothing picked
-                hit = slot_lane == pa  # (blk, n_slots)
-                rew_a = jnp.sum(
-                    jnp.where(hit, rwd_ref[:], 0.0), axis=1, keepdims=True
-                )
-                rew = rew + jnp.where(a_lane == a, rew_a, 0.0)
-                islot = jnp.sum(
-                    jnp.where(hit, info_ref[:], 0), axis=1, keepdims=True
-                )
-                col = a * n_types + islot  # (blk, 1)
-                cnt = cnt + jnp.where(
-                    (cnt_lane == col) & (pa >= 0), 1, 0
-                )
-        gp_out[:] = gp_k
-        pos_out[:] = pos_k
-        rew_out[:] = rew
-        cnt_out[:] = cnt
-
-    def row_spec(cols):
-        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    gp, pos_o, rew_o, cnt_o = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            row_spec(C),
-            row_spec(2 * A),
-            row_spec(K * (A + 3)),
-            pl.BlockSpec((n_colors, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_slots), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_slots), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            row_spec(C),
-            row_spec(2 * A),
-            row_spec(A),
-            row_spec(A * n_types),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, C), jnp.int32),
-            jax.ShapeDtypeStruct((B, 2 * A), jnp.int32),
-            jax.ShapeDtypeStruct((B, A), jnp.float32),
-            jax.ShapeDtypeStruct((B, A * n_types), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
-        pack_planes(go, gc, gs), pos, acts_rnd, rects, tril,
-        jnp.asarray(np.array(rwd_tab, dtype=np.float32))[None, :],
-        jnp.asarray(np.array(slot_tab, dtype=np.int32))[None, :],
-    )
-    go, gc, gs = unpack_planes(gp)
-    return go, gc, gs, pos_o, rew_o, cnt_o
-
-
 def _rect_bits(rects):
     """(n_colors, C) bool respawn rects -> one (1, C) int32 bit plane:
     bit c of lane l says lane l belongs to color c's rect.  Lets the
@@ -824,7 +712,7 @@ def _collect_ms_math(t, K, go, gc, gs, pos, packed, rects, tril,
 
 
 def make_collect_episode_rollout(
-    cfg, chunk: int | None = None, interpret=None, use_kernel: bool = True,
+    cfg, chunk: int | None = None, interpret=None, use_kernel: bool = False,
     rnd_mode: str = "packed", prefix_mode: str = "adds",
 ):
     """Whole-episode rollout driver for truncation-only Collect configs.
@@ -834,35 +722,43 @@ def make_collect_episode_rollout(
     never terminates early (respawn or fixed_horizon) so that lockstep envs
     truncate together; num_steps must be a multiple of max_steps and states
     must be freshly reset (uniform step_count == 0).  Each max_steps episode
-    runs as ceil(max_steps/chunk) kernel launches with bulk pre-drawn
-    randomness, then all envs reset.
+    runs as ceil(max_steps/chunk) plain-XLA chunk programs
+    (:func:`_collect_ms_math_packed`) with bulk pre-drawn randomness and
+    the packed-plane `_reset_math_packed` reset, with the board carried
+    packed through the whole rollout.
 
-    use_kernel=False runs the identical K-step math as one plain-XLA
-    program (:func:`_collect_ms_math_packed` + the packed-plane
-    `_reset_math_packed` reset), with the board carried packed through
-    the whole rollout.
+    The fused multi-step episode KERNELS this factory used to offer were
+    pruned in round 5 after the slab-width sweep confirmed they lose
+    5-8x at every VMEM-feasible (chunk, BLK) point
+    (artifacts/kernel_vs_xla.md); ``use_kernel=True`` warns and runs the
+    XLA math.  The single-step kernel (:func:`collect_step_slab`) and
+    reset kernel remain as the bit-compared second-backend validation
+    layer.
     """
     from gym_multigrid_tpu.envs.collect import _wall_mask, make_collect
 
     assert cfg.respawn or cfg.fixed_horizon, "early termination breaks lockstep"
     if cfg.num_agents not in (1, 2):
         return None
+    if use_kernel:
+        import warnings
+
+        warnings.warn(
+            "the multi-step episode kernels were pruned (losing 5-8x at "
+            "every feasible slab shape — artifacts/kernel_vs_xla.md); "
+            "running the identical plain-XLA episode math",
+            stacklevel=2,
+        )
+        use_kernel = False
     t = make_tables(cfg)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # Mosaic's scoped-VMEM stack grows with the unrolled step count; at
-    # MS_BLK=128 chunks up to ~25 fit.  Interleaved sweeps on the real chip
-    # put 15 consistently ahead of 10/20/25 (98.0-98.4M vs 96.0-97.7M
-    # agent-steps/s at batch 8192).
-    chunk = chunk or 15
-    reset_batch = make_collect_reset_batch(cfg, interpret, use_kernel)
+    # chunk: 25 measured fastest for the XLA form on v5e @ 8192
+    # (round-5 sweeps: 25 ≈ 50 > 10).
+    chunk = chunk or 25
     from gym_multigrid_tpu.envs.collect import build_plan, reward_slot_tables
 
     slot_rewards_np, slot_info_np, _ = reward_slot_tables(cfg, build_plan(cfg))
-    reward_slot = (
-        tuple(float(x) for x in slot_rewards_np),
-        tuple(int(x) for x in slot_info_np),
-    )
     A = cfg.num_agents
     n_types = cfg.num_ball_types
     # Static arrays for the XLA (use_kernel=False) path.
@@ -902,8 +798,8 @@ def make_collect_episode_rollout(
     _ms_rwd = jnp.asarray(slot_rewards_np, dtype=jnp.float32)
     _ms_slot = jnp.asarray(slot_info_np, dtype=jnp.int32)
 
-    draw_packed = use_kernel or rnd_mode in ("packed", "packedbits")
-    draw_bits = (not use_kernel) and rnd_mode == "packedbits"
+    draw_packed = rnd_mode in ("packed", "packedbits")
+    draw_bits = rnd_mode == "packedbits"
     _ms_rect_bits = _rect_bits(_ms_rects) if t.respawn else None
     rt, plan = make_reset_tables(cfg)
     wall_np = np.array(_wall_mask(cfg), dtype=np.bool_)
@@ -930,51 +826,12 @@ def make_collect_episode_rollout(
         # maze/ctf whose strides are larger.
         return jnp.concatenate([acts, rnd], axis=2).reshape(B, K * (A + 3))
 
-    def _one_episode(states, key):
-        """max_steps env steps (chunked kernel launches) + lockstep reset
-        — the Pallas-kernel path (CollectState carry)."""
-        B = states.grid_obj.shape[0]
-        reward_sum = jnp.float32(0.0)
-        done = 0
-        while done < cfg.max_steps:
-            K = min(chunk, cfg.max_steps - done)
-            key, k_launch = jax.random.split(key)
-            packed = _draw_step_rnd(k_launch, B, K)
-            go, gc, gs, pos, rew, cnt = collect_multistep_slab(
-                t,
-                states.grid_obj,
-                states.grid_color,
-                states.grid_slot,
-                states.agent_pos.reshape(B, -1),
-                packed,
-                K,
-                reward_slot,
-                n_types,
-                interpret,
-            )
-            reward_sum = reward_sum + jnp.sum(rew)
-            states = type(states)(
-                grid_obj=go,
-                grid_color=gc,
-                grid_slot=gs,
-                agent_pos=pos.reshape(B, -1, 2),
-                collected=states.collected
-                + jnp.sum(cnt.reshape(B, A, -1), axis=(1, 2)),
-                step_count=states.step_count + K,
-                info_counts=states.info_counts + cnt.reshape(B, A, -1),
-                key=states.key,
-            )
-            done += K
-        # truncation: every env resets in lockstep (fused reset kernel)
-        states = reset_batch(states.key)
-        return states, reward_sum
-
     def _one_episode_packed(p, pos, coll, info, keys, key):
-        """The XLA path's episode body on the PACKED plane carry.
+        """One max_steps episode on the PACKED plane carry.
 
-        Identical math to :func:`_one_episode` (same draws, same
-        :func:`_collect_ms_math_packed` steps, same reset program keyed
-        off the per-env state keys), but the plane stays packed through
+        Chunked :func:`_collect_ms_math_packed` steps with bulk pre-drawn
+        randomness, then the lockstep truncation reset keyed off the
+        per-env state keys.  The plane stays packed through
         chunk AND episode boundaries: the truncation reset writes the
         next episode's board directly in packed form
         (:func:`_reset_math_packed`), so the only pack/unpack in the
@@ -1024,78 +881,47 @@ def make_collect_episode_rollout(
         B = states.grid_obj.shape[0]
         n_eps = num_steps // cfg.max_steps
 
-        if interpret and use_kernel:
-            # Interpreter-mode kernels under a compiled scan are
-            # pathologically slow; eager episode loop for CPU testing.
-            reward_sum = jnp.float32(0.0)
-            for _ in range(n_eps):
-                key, k_ep = jax.random.split(key)
-                states, r = _one_episode(states, k_ep)
-                reward_sum = reward_sum + r
-            return states, {
-                "reward_sum": reward_sum,
-                "episodes": jnp.int32(B * n_eps),
-                # episodes align with call boundaries here, so every
-                # reward belongs to a completed episode and nothing is in
-                # flight (same keys as BatchedEnv.rollout).
-                "ep_return_sum": reward_sum,
-                "run_return": jnp.zeros((B,), jnp.float32),
-            }
-
         # One episode body in the graph, scanned — keeps compile time flat
         # in num_steps (inlining every episode's reset program blows up the
-        # HLO otherwise).
-        if use_kernel:
+        # HLO otherwise).  Packed-plane carry (see _one_episode_packed);
+        # one pack here, one unpack below.
+        p0 = pack_planes(
+            states.grid_obj, states.grid_color, states.grid_slot
+        )
 
-            def body(carry, _):
-                states, key, reward_sum = carry
-                key, k_ep = jax.random.split(key)
-                states, r = _one_episode(states, k_ep)
-                return (states, key, reward_sum + r), None
+        def body(carry, _):
+            p, pos, coll, info, keys, key, reward_sum = carry
+            key, k_ep = jax.random.split(key)
+            p, pos, coll, info, keys, r = _one_episode_packed(
+                p, pos, coll, info, keys, k_ep
+            )
+            return (p, pos, coll, info, keys, key, reward_sum + r), None
 
-            (states, key, reward_sum), _ = jax.lax.scan(
-                body, (states, key, jnp.float32(0.0)), None, length=n_eps
-            )
-        else:
-            # Packed-plane carry for the XLA path (see
-            # _one_episode_packed); one pack here, one unpack below.
-            p0 = pack_planes(
-                states.grid_obj, states.grid_color, states.grid_slot
-            )
-
-            def body(carry, _):
-                p, pos, coll, info, keys, key, reward_sum = carry
-                key, k_ep = jax.random.split(key)
-                p, pos, coll, info, keys, r = _one_episode_packed(
-                    p, pos, coll, info, keys, k_ep
-                )
-                return (p, pos, coll, info, keys, key, reward_sum + r), None
-
-            carry0 = (
-                p0,
-                states.agent_pos.reshape(B, -1),
-                states.collected,
-                states.info_counts,
-                states.key,
-                key,
-                jnp.float32(0.0),
-            )
-            (p, pos, coll, info, keys, key, reward_sum), _ = jax.lax.scan(
-                body, carry0, None, length=n_eps
-            )
-            go, gc, gs = unpack_planes(p)
-            states = type(states)(
-                grid_obj=go,
-                grid_color=gc,
-                grid_slot=gs,
-                agent_pos=pos.reshape(B, -1, 2),
-                collected=coll,
-                # every episode in this rollout completed (lockstep
-                # truncation), so step_count restarts at 0
-                step_count=jnp.zeros((B,), jnp.int32),
-                info_counts=info,
-                key=keys,
-            )
+        carry0 = (
+            p0,
+            states.agent_pos.reshape(B, -1),
+            states.collected,
+            states.info_counts,
+            states.key,
+            key,
+            jnp.float32(0.0),
+        )
+        (p, pos, coll, info, keys, key, reward_sum), _ = jax.lax.scan(
+            body, carry0, None, length=n_eps
+        )
+        go, gc, gs = unpack_planes(p)
+        states = type(states)(
+            grid_obj=go,
+            grid_color=gc,
+            grid_slot=gs,
+            agent_pos=pos.reshape(B, -1, 2),
+            collected=coll,
+            # every episode in this rollout completed (lockstep
+            # truncation), so step_count restarts at 0
+            step_count=jnp.zeros((B,), jnp.int32),
+            info_counts=info,
+            key=keys,
+        )
         episodes = jnp.int32(B * n_eps)
         return states, {
             "reward_sum": reward_sum,

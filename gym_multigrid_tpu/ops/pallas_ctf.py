@@ -751,69 +751,6 @@ def _ctf_ms_math(t: CtfKTables, K, pos, dirs, term, coll, sc, run_ret,
     return pos, dirs, term, coll, sc, run_ret, rew_sum, ep_sum, eps
 
 
-CTF_MS_BLK = 128  # multi-step kernel block (unrolled steps stack VMEM)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 7, 8))
-def ctf_multistep_slab(t: CtfKTables, pos, dirs, term, coll, sc, run_ret,
-                       K, interpret, packed, cells, border_pool, terr_pack):
-    """K fused auto-resetting CtF steps per kernel launch."""
-    B = pos.shape[0]
-    A = t.n_blue + t.n_red
-    border, pool = border_pool
-    bterr, rterr = terr_pack
-    blk = min(CTF_MS_BLK, B)
-    grid = (pl.cdiv(B, blk),)
-    N = t.s0 * t.s1
-
-    def kernel(pos_ref, dirs_ref, term_ref, coll_ref, sc_ref, rr_ref,
-               packed_ref, cells_ref, border_ref, pool_ref, bterr_ref,
-               rterr_ref, *outs):
-        res = _ctf_ms_math(
-            t, K, pos_ref[:], dirs_ref[:], term_ref[:], coll_ref[:],
-            sc_ref[:], rr_ref[:], packed_ref[:], cells_ref[:], border_ref[:],
-            pool_ref[:], bterr_ref[:], rterr_ref[:],
-        )
-        for o_ref, val in zip(outs, res):
-            o_ref[:] = val
-
-    def row_spec(cols):
-        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def full_spec(r, c):
-        return pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    nb, nr = bterr.shape[1], rterr.shape[1]
-    out_cols = [2 * A, A, A, A, 1, 1, 1, 1, 1]
-    out_dtypes = [jnp.int32] * 4 + [jnp.int32, jnp.float32, jnp.float32,
-                  jnp.float32, jnp.int32]
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            row_spec(2 * A),
-            row_spec(A),
-            row_spec(A),
-            row_spec(A),
-            row_spec(1),
-            row_spec(1),
-            row_spec(packed.shape[1]),
-            full_spec(4, N),
-            full_spec(2, border.shape[1]),
-            full_spec(2, pool.shape[1]),
-            full_spec(2, nb),
-            full_spec(2, nr),
-        ],
-        out_specs=[row_spec(c) for c in out_cols],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, c), d)
-            for c, d in zip(out_cols, out_dtypes)
-        ],
-        interpret=interpret,
-    )(pos, dirs, term, coll, sc, run_ret, packed, cells, border, pool,
-      bterr, rterr)
-
-
 def ctf_reset_inputs(cfg):
     """(bterr, rterr) static territory coordinate lists for the reset."""
     from gym_multigrid_tpu.envs.ctf import build_tables
@@ -835,19 +772,22 @@ def ctf_reset_inputs(cfg):
 
 
 def make_ctf_episode_rollout(
-    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True,
+    cfg, chunk: int = 25, interpret=None, use_kernel: bool = False,
     rnd_mode: str = "packed",
 ):
-    """rollout(states, key, num_steps) -> (states', metrics) on the fused
+    """rollout(states, key, num_steps) -> (states', metrics) on the
     multi-step math with in-graph per-env auto-reset and uniform-random
     blue actions; metrics match BatchedEnv.rollout (reward_sum, episodes,
-    ep_return_sum, run_return).  chunk=25 measured fastest on v5e (57.7M
-    agent-steps/s @ 8192 vs 54.0M at 10); the CtF per-step rnd stream is
-    tiny so VMEM allows deep unrolls.
+    ep_return_sum, run_return).  The K-step math (:func:`_ctf_ms_math`)
+    runs as one plain-XLA program per chunk — same pre-drawn randomness,
+    no per-step key splits.  chunk=25 measured fastest on v5e; the CtF
+    per-step rnd stream is tiny so deep unrolls are cheap.
 
-    use_kernel=False runs the identical K-step math (:func:`_ctf_ms_math`)
-    as one plain-XLA program — same pre-drawn randomness, no per-step key
-    splits or VMEM block constraints."""
+    The multi-step episode KERNEL was pruned in round 5 after the
+    slab-width sweep (5-8x slower at every VMEM-feasible point —
+    artifacts/kernel_vs_xla.md); use_kernel=True warns and runs the XLA
+    math, and the single-step kernel (:func:`ctf_step_slab`) remains the
+    bit-compared validation layer."""
     from gym_multigrid_tpu.envs.ctf import CtfState
 
     if cfg.num_agents > 8 or any(
@@ -855,6 +795,16 @@ def make_ctf_episode_rollout(
         for s in cfg.enemy_policies
     ):
         return None
+    if use_kernel:
+        import warnings
+
+        warnings.warn(
+            "the CtF multi-step episode kernel was pruned "
+            "(artifacts/kernel_vs_xla.md); running the plain-XLA episode "
+            "math",
+            stacklevel=2,
+        )
+        use_kernel = False
     t = make_ctf_ktables(cfg)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -863,7 +813,7 @@ def make_ctf_episode_rollout(
     A = cfg.num_agents
     stride = ms_stride(t)
 
-    draw_packed = use_kernel or rnd_mode == "packed"
+    draw_packed = rnd_mode == "packed"
 
     def _launch(states, run_ret, key, K):
         B = states.pos.shape[0]
@@ -887,22 +837,14 @@ def make_ctf_episode_rollout(
             states.step_count.reshape(B, 1),
             run_ret,
         )
-        if use_kernel:
-            pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
-                ctf_multistep_slab(
-                    t, *args, K, interpret, packed, cells,
-                    (border, pool), terr_pack,
-                )
+        # In-loop RNG (see _ctf_ms_math) unless rnd_mode="packed".
+        pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
+            _ctf_ms_math(
+                t, K, *args, packed if draw_packed else key,
+                cells, border, pool,
+                terr_pack[0], terr_pack[1],
             )
-        else:
-            # In-loop RNG (see _ctf_ms_math) unless rnd_mode="packed".
-            pos, dirs, term, coll, sc, run_ret, rew, ep_sum, eps = (
-                _ctf_ms_math(
-                    t, K, *args, packed if draw_packed else key,
-                    cells, border, pool,
-                    terr_pack[0], terr_pack[1],
-                )
-            )
+        )
         states = CtfState(
             pos=pos.reshape(B, A, 2),
             dir=dirs,
@@ -927,22 +869,14 @@ def make_ctf_episode_rollout(
             states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
             return (states, run_ret, key, rs + r, es + e, ec + n), None
 
-        if interpret and use_kernel:
-            for _ in range(n_full):
-                key, k = jax.random.split(key)
-                states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
-                reward_sum += r
-                ep_ret_sum += e
-                episodes += n
-        else:
-            (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
-                jax.lax.scan(
-                    body,
-                    (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
-                    None,
-                    length=n_full,
-                )
+        (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
+            jax.lax.scan(
+                body,
+                (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
+                None,
+                length=n_full,
             )
+        )
         if rem:
             key, k = jax.random.split(key)
             states, run_ret, r, e, n = _launch(states, run_ret, k, rem)

@@ -1,16 +1,20 @@
-"""Fused Pallas kernels for the Maze step (envs/maze.py owns the math).
+"""Pallas kernel + XLA episode math for the Maze step (envs/maze.py owns
+the math).
 
 Maze has the smallest state of any family — one (2,) position over a
-static board — so the kernels are thin wrappers over the shared slab math:
+static board:
 
-* ``maze_step_slab`` — one fused transition per launch.
-* ``maze_multistep_slab`` — K transitions per launch with in-kernel
-  per-env auto-reset (flag capture terminates early, so each unrolled
-  step checks done and respawns that env on a uniform background cell).
+* ``maze_step_slab`` — one fused Pallas transition per launch, the
+  bit-compared second-backend validation of the shared slab math
+  (tests/test_pallas_maze.py).
+* ``_maze_ms_math`` / ``make_maze_episode_rollout`` — K transitions per
+  plain-XLA chunk program with in-graph per-env auto-reset, the perf
+  headline.  (A multi-step episode KERNEL variant existed through round
+  4 and was pruned after the slab-width sweep showed it 8x slower at
+  every VMEM-feasible point — artifacts/kernel_vs_xla.md.)
 
 Same contract as every other family: pre-drawn uniforms, kernel body IS
-the pure-jax spec (tests/test_pallas_maze.py), point queries as one-hot
-lane compares.
+the pure-jax spec, point queries as one-hot lane compares.
 """
 
 from __future__ import annotations
@@ -31,7 +35,6 @@ from gym_multigrid_tpu.envs.maze import (
 )
 
 MAZE_BLK = 512
-MAZE_MS_BLK = 256
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
@@ -129,72 +132,40 @@ def _maze_ms_math(t: MazeTables, K, pos, dirs, sc, run_ret, packed, cells, bg):
     return pos, dirs, sc, run_ret, rew_sum, ep_sum, eps
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
-def maze_multistep_slab(t: MazeTables, pos, dirs, sc, run_ret, K, interpret,
-                        packed, cells, bg):
-    B = pos.shape[0]
-    N = t.n_cells
-    blk = min(MAZE_MS_BLK, B)
-    grid = (pl.cdiv(B, blk),)
-
-    def kernel(pos_ref, dirs_ref, sc_ref, rr_ref, packed_ref, cells_ref,
-               bg_ref, *outs):
-        res = _maze_ms_math(
-            t, K, pos_ref[:], dirs_ref[:], sc_ref[:], rr_ref[:],
-            packed_ref[:], cells_ref[:], bg_ref[:],
-        )
-        for o_ref, val in zip(outs, res):
-            o_ref[:] = val
-
-    def row_spec(cols):
-        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    out_cols = [2, 1, 1, 1, 1, 1, 1]
-    out_dtypes = [jnp.int32, jnp.int32, jnp.int32, jnp.float32,
-                  jnp.float32, jnp.float32, jnp.int32]
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            row_spec(2),
-            row_spec(1),
-            row_spec(1),
-            row_spec(1),
-            row_spec(packed.shape[1]),
-            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (2, bg.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=[row_spec(c) for c in out_cols],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, c), d)
-            for c, d in zip(out_cols, out_dtypes)
-        ],
-        interpret=interpret,
-    )(pos, dirs, sc, run_ret, packed, cells, bg)
-
-
 def make_maze_episode_rollout(
-    cfg, chunk: int = 25, interpret=None, use_kernel: bool = True,
+    cfg, chunk: int = 25, interpret=None, use_kernel: bool = False,
     rnd_mode: str = "packed",
 ):
-    """rollout(states, key, num_steps) on the fused multi-step math with
+    """rollout(states, key, num_steps) on the multi-step math with
     in-graph auto-reset and uniform-random actions; metrics match
-    BatchedEnv.rollout.
+    BatchedEnv.rollout.  The K-step math (:func:`_maze_ms_math`) runs as
+    one plain-XLA program per chunk — same pre-drawn randomness, no
+    per-step key splits.
 
-    use_kernel=False runs the identical K-step math (:func:`_maze_ms_math`)
-    as one plain-XLA program — same pre-drawn randomness, no per-step key
-    splits — which lets XLA pipeline across the unrolled steps without the
-    kernel's VMEM block constraints."""
+    The multi-step episode KERNEL was pruned in round 5: the slab-width
+    sweep's best point (chunk 10, BLK 512: 170M agent-steps/s) stays 8x
+    behind this XLA path (artifacts/kernel_vs_xla.md).  use_kernel=True
+    warns and runs the XLA math; the single-step kernel
+    (:func:`maze_step_slab`) remains the bit-compared validation layer.
+    """
     from gym_multigrid_tpu.envs.maze import NUM_ACTIONS, MazeState
 
+    if use_kernel:
+        import warnings
+
+        warnings.warn(
+            "the maze multi-step episode kernel was pruned (8x slower at "
+            "every feasible slab shape — artifacts/kernel_vs_xla.md); "
+            "running the identical plain-XLA episode math",
+            stacklevel=2,
+        )
+        use_kernel = False
     t = maze_tables(cfg)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     cells, bg = maze_static_inputs(cfg)
 
-    draw_packed = use_kernel or rnd_mode == "packed"
+    draw_packed = rnd_mode == "packed"
 
     def _launch(states, run_ret, key, K):
         B = states.pos.shape[0]
@@ -205,45 +176,19 @@ def make_maze_episode_rollout(
             # leaves lane width 1 and pays a full relayout per step.
             acts_kb = jax.random.randint(k_a, (K, B), 0, NUM_ACTIONS)
             rnd_kb = jax.random.uniform(k_r, (K, B))
-            if use_kernel:
-                # The kernel's contract is one packed f32 buffer; built
-                # from the SAME draws as the XLA tuple so the
-                # kernel==XLA trajectory equality tests stay exact.
-                packed = jnp.concatenate(
-                    [
-                        acts_kb.T[:, :, None].astype(jnp.float32),
-                        rnd_kb.T[:, :, None],
-                    ],
-                    axis=2,
-                ).reshape(B, K * MS_STRIDE)
-            else:
-                packed = (acts_kb.T, rnd_kb.T)
-        if use_kernel:
-            pos, dirs, sc, run_ret, rew, ep_sum, eps = maze_multistep_slab(
-                t,
-                states.pos.reshape(B, 2),
-                states.dir.reshape(B, 1),
-                states.step_count.reshape(B, 1),
-                run_ret,
-                K,
-                interpret,
-                packed,
-                cells,
-                bg,
-            )
-        else:
-            # In-loop RNG (see _maze_ms_math) unless rnd_mode="packed".
-            pos, dirs, sc, run_ret, rew, ep_sum, eps = _maze_ms_math(
-                t,
-                K,
-                states.pos.reshape(B, 2),
-                states.dir.reshape(B, 1),
-                states.step_count.reshape(B, 1),
-                run_ret,
-                packed if draw_packed else key,
-                cells,
-                bg,
-            )
+            packed = (acts_kb.T, rnd_kb.T)
+        # In-loop RNG (see _maze_ms_math) unless rnd_mode="packed".
+        pos, dirs, sc, run_ret, rew, ep_sum, eps = _maze_ms_math(
+            t,
+            K,
+            states.pos.reshape(B, 2),
+            states.dir.reshape(B, 1),
+            states.step_count.reshape(B, 1),
+            run_ret,
+            packed if draw_packed else key,
+            cells,
+            bg,
+        )
         states = MazeState(
             pos=pos,
             dir=dirs.reshape(B),
@@ -266,22 +211,14 @@ def make_maze_episode_rollout(
             states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
             return (states, run_ret, key, rs + r, es + e, ec + n), None
 
-        if interpret and use_kernel:
-            for _ in range(n_full):
-                key, k = jax.random.split(key)
-                states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
-                reward_sum += r
-                ep_ret_sum += e
-                episodes += n
-        else:
-            (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
-                jax.lax.scan(
-                    body,
-                    (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
-                    None,
-                    length=n_full,
-                )
+        (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
+            jax.lax.scan(
+                body,
+                (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
+                None,
+                length=n_full,
             )
+        )
         if rem:
             key, k = jax.random.split(key)
             states, run_ret, r, e, n = _launch(states, run_ret, k, rem)

@@ -1,21 +1,20 @@
-"""Fused Pallas kernels for the Wildfire step (ops/pallas_collect.py is the
-pattern; envs/wildfire.py owns the math).
+"""Pallas kernel + XLA episode math for the Wildfire step
+(ops/pallas_collect.py is the pattern; envs/wildfire.py owns the math).
 
-Two kernels:
+* ``wildfire_step_slab`` — one fused Pallas transition per launch (plugs
+  into ``BatchedEnv.step_batch`` via envs.wildfire.make_wildfire_step_
+  batch), the bit-compared second-backend validation of the shared slab
+  math (tests/test_pallas_wildfire.py).
+* ``_ms_math`` / ``make_wildfire_episode_rollout`` — K transitions per
+  plain-XLA chunk program with in-graph per-env auto-reset; the default
+  in-loop path runs the trace-optimized compact form
+  (envs.wildfire.wf_compact_ms).  (A multi-step episode KERNEL variant
+  existed through round 4 and was pruned after the slab-width sweep —
+  artifacts/kernel_vs_xla.md.)
 
-* ``wildfire_step_slab`` — one fused transition per launch (plugs into
-  ``BatchedEnv.step_batch`` via envs.wildfire.make_wildfire_step_batch).
-* ``wildfire_multistep_slab`` — K transitions per launch **with in-kernel
-  per-env auto-reset**: unlike Collect's truncation-only episode kernel,
-  wildfire terminates early at a random time (fire goes out), so each
-  unrolled step checks done = term|trunc and rebuilds that env's board with
-  the reset math in place.  The board stays VMEM-resident across all K
-  steps; HBM traffic is the pre-drawn uniform stream.
-
-Same contract as the other families: all randomness is pre-drawn uniforms,
-the kernel bodies are exactly :func:`envs.wildfire.wf_step_math` /
-``wf_reset_math`` (bit-compared in tests/test_pallas_wildfire.py), and the
-spread stencil runs as the adjacency matmul on the MXU.
+Same contract as the other families: pre-drawn uniforms (or in-loop
+draws), the kernel body is exactly :func:`envs.wildfire.wf_step_math`,
+and the spread stencil runs as the adjacency matmul on the MXU.
 
 Envelope: n_agents <= 4 and n_cells a multiple of 128 (the default 16x16
 config is 256).  Outside it the XLA slab path serves (same math).
@@ -41,7 +40,6 @@ from gym_multigrid_tpu.envs.wildfire import (
 )
 
 BLK = 256  # envs per program instance (single-step kernel)
-MS_BLK = 128  # multi-step kernel (unrolled steps stack VMEM temporaries)
 
 
 def kernel_supported(t: WfTables) -> bool:
@@ -167,75 +165,36 @@ def _ms_math(t: WfTables, K, cells, pos, sc, ext, run_ret, packed, adj, tril):
     return cells, pos, sc, ext, run_ret, rew_sum, ep_sum, eps
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7))
-def wildfire_multistep_slab(
-    t: WfTables, cells, pos, sc, ext, run_ret, K, interpret, packed
-):
-    """K fused auto-resetting steps per kernel launch."""
-    B, C = cells.shape
-    A = t.n_agents
-    blk = min(MS_BLK, B)
-    grid = (pl.cdiv(B, blk),)
-    adj = jnp.asarray(adjacency(t))
-    tril = jnp.asarray(np.tril(np.ones((C, C), dtype=np.float32)).T)
-
-    def kernel(cells_ref, pos_ref, sc_ref, ext_ref, rr_ref, packed_ref,
-               adj_ref, tril_ref, *outs):
-        res = _ms_math(
-            t, K, cells_ref[:], pos_ref[:], sc_ref[:], ext_ref[:],
-            rr_ref[:], packed_ref[:], adj_ref[:], tril_ref[:],
-        )
-        for o_ref, val in zip(outs, res):
-            o_ref[:] = val
-
-    def row_spec(cols):
-        return pl.BlockSpec((blk, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def full_spec(r, c):
-        return pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    out_cols = [C, 2 * A, 1, 1, 1, 1, 1, 1]
-    out_dtypes = [jnp.int32, jnp.int32, jnp.int32, jnp.int32,
-                  jnp.float32, jnp.float32, jnp.float32, jnp.int32]
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            row_spec(C),
-            row_spec(2 * A),
-            row_spec(1),
-            row_spec(1),
-            row_spec(1),
-            row_spec(packed.shape[1]),
-            full_spec(C, C),
-            full_spec(C, C),
-        ],
-        out_specs=[row_spec(c) for c in out_cols],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, c), d)
-            for c, d in zip(out_cols, out_dtypes)
-        ],
-        interpret=interpret,
-    )(cells, pos, sc, ext, run_ret, packed, adj, tril)
-
-
 def make_wildfire_episode_rollout(
-    cfg, chunk: int = 8, interpret=None, use_kernel: bool = True,
+    cfg, chunk: int = 8, interpret=None, use_kernel: bool = False,
     rnd_mode: str = "inloop",
 ):
-    """rollout(states, key, num_steps) -> (states', metrics) on the fused
+    """rollout(states, key, num_steps) -> (states', metrics) on the
     multi-step math, matching BatchedEnv.rollout with uniform-random
     actions and in-graph auto-reset.  metrics: reward_sum, episodes,
     ep_return_sum, run_return — same keys as BatchedEnv.rollout.
 
-    use_kernel=False runs the identical K-step math (:func:`_ms_math`) as
-    one plain-XLA program — same pre-drawn randomness and fused auto-reset,
-    no VMEM block constraints."""
+    The K-step math runs as one plain-XLA program per chunk: the
+    trace-optimized compact form (envs.wildfire.wf_compact_ms) on the
+    default in-loop path, :func:`_ms_math` otherwise.  The multi-step
+    episode KERNEL was pruned in round 5 (5-8x slower at every
+    VMEM-feasible slab shape — artifacts/kernel_vs_xla.md);
+    use_kernel=True warns and runs the XLA math, and the single-step
+    kernel (:func:`wildfire_step_slab`) remains the bit-compared
+    validation layer."""
     from gym_multigrid_tpu.envs.wildfire import WildfireState, wf_tables
 
     t = wf_tables(cfg)
-    if use_kernel and not kernel_supported(t):
-        return None
+    if use_kernel:
+        import warnings
+
+        warnings.warn(
+            "the wildfire multi-step episode kernel was pruned "
+            "(artifacts/kernel_vs_xla.md); running the plain-XLA episode "
+            "math",
+            stacklevel=2,
+        )
+        use_kernel = False
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     A = t.n_agents
@@ -250,7 +209,7 @@ def make_wildfire_episode_rollout(
     adj_x = None
     tril_x = None
 
-    draw_packed = use_kernel or rnd_mode == "packed"
+    draw_packed = rnd_mode == "packed"
     # In-loop XLA path: the trace-optimized u8-field/int8-board chunk
     # (envs.wildfire.wf_compact_ms) unless a threshold has no u8 form.
     from gym_multigrid_tpu.envs.wildfire import (
@@ -263,17 +222,14 @@ def make_wildfire_episode_rollout(
     def _launch(states, run_ret, key, K):
         B = states.cells.shape[0]
         if draw_packed:
-            # Pre-drawn bulk randomness: the kernel's contract, and the
-            # rnd_mode="packed" XLA form the bit-equality tests pin
-            # against it.
+            # Pre-drawn bulk randomness: the single-step kernel's
+            # contract, and the rnd_mode="packed" XLA form the
+            # bit-equality tests pin against it.
             k_a, k_r = jax.random.split(key)
             acts = jax.random.randint(k_a, (B, K, A), 0, 5).astype(
                 jnp.float32
             )
             rnd = jax.random.uniform(k_r, (B, K, stride - A))
-            packed = jnp.concatenate([acts, rnd], axis=2).reshape(
-                B, K * stride
-            )
         args = (
             states.cells.reshape(B, C),
             states.agent_pos.reshape(B, 2 * A),
@@ -281,11 +237,7 @@ def make_wildfire_episode_rollout(
             states.extinguished.reshape(B, 1),
             run_ret,
         )
-        if use_kernel:
-            cells, pos, sc, ext, run_ret, rew, ep_sum, eps = (
-                wildfire_multistep_slab(t, *args, K, interpret, packed)
-            )
-        elif compact:
+        if compact:
             cells, pos, sc, ext, run_ret, rew, ep_sum, eps = wf_compact_ms(
                 t, K, *args, key
             )
@@ -326,23 +278,14 @@ def make_wildfire_episode_rollout(
             states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
             return (states, run_ret, key, rs + r, es + e, ec + n), None
 
-        if interpret and use_kernel:
-            # eager loop: interpreter-mode kernels under scan crawl
-            for _ in range(n_full):
-                key, k = jax.random.split(key)
-                states, run_ret, r, e, n = _launch(states, run_ret, k, chunk)
-                reward_sum += r
-                ep_ret_sum += e
-                episodes += n
-        else:
-            (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
-                jax.lax.scan(
-                    body,
-                    (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
-                    None,
-                    length=n_full,
-                )
+        (states, run_ret, key, reward_sum, ep_ret_sum, episodes), _ = (
+            jax.lax.scan(
+                body,
+                (states, run_ret, key, reward_sum, ep_ret_sum, episodes),
+                None,
+                length=n_full,
             )
+        )
         if rem:
             key, k = jax.random.split(key)
             states, run_ret, r, e, n = _launch(states, run_ret, k, rem)

@@ -58,6 +58,17 @@ class PPOConfig:
     # global shuffle.  Set to the mesh's 'data' axis size; 1 (default)
     # shuffles globally (single-chip semantics).
     dp_shards: int = 1
+    # Shuffle granularity, independent of sharding: the epoch shuffle
+    # runs as this many INDEPENDENT per-block permutations (each
+    # minibatch still draws from every block, so samples from all blocks
+    # mix in every gradient).  jax.random.permutation lowers to a sort
+    # whose depth grows ~log^2(n) — at 1M envs the flat-buffer sorts
+    # were ~25% of train-step device time (artifacts/sol_report.json
+    # ppo_train) — and B blocks of n/B samples cut that depth while the
+    # iid-envs argument above gives identical minibatch marginals.
+    # None (default) = dp_shards (previous behavior).  Must be a
+    # multiple of dp_shards so blocks stay shard-local under a mesh.
+    shuffle_blocks: int | None = None
 
 
 class RolloutCarry(NamedTuple):
@@ -154,11 +165,14 @@ def make_update_fn(net, tx, cfg: PPOConfig):
         obs, actions, old_logp, advantages, returns = mb
         logits, value = net.apply(params, obs)
 
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        # logsumexp form: chosen logprob and entropy from (n, A) reduces
+        # of the raw logits, without materializing the (n, A, actions)
+        # log_softmax tensor (see networks.sample_actions).
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
         chosen = jnp.take_along_axis(
-            logp_all, actions[..., None], axis=-1
+            logits, actions[..., None], axis=-1
         ).squeeze(-1)
-        logp = chosen.sum(axis=-1)
+        logp = (chosen - lse).sum(axis=-1)
 
         ratio = jnp.exp(logp - old_logp)
         # Advantage normalization is per-minibatch, matching SB3's
@@ -168,7 +182,9 @@ def make_update_fn(net, tx, cfg: PPOConfig):
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
         pg_loss = -jnp.minimum(pg1, pg2).mean()
         v_loss = 0.5 * jnp.square(value - returns).mean()
-        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        # H = E[-log p] = lse - sum(softmax * logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        entropy = (lse - (probs * logits).sum(-1)).mean()
         loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
         # SB3-style update diagnostics (ppo.py logs these per update).
         approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
@@ -192,7 +208,11 @@ def make_update_fn(net, tx, cfg: PPOConfig):
         advantages, returns = _gae(traj, last_value)
 
         T, B = traj.reward.shape
-        S = cfg.dp_shards
+        S = cfg.shuffle_blocks or cfg.dp_shards
+        assert S % cfg.dp_shards == 0, (
+            f"shuffle_blocks={S} must be a multiple of "
+            f"dp_shards={cfg.dp_shards} (blocks must stay shard-local)"
+        )
         assert B % S == 0, f"num_envs={B} not divisible by dp_shards={S}"
         n_local = T * (B // S)
         assert n_local % cfg.num_minibatches == 0, (

@@ -35,6 +35,14 @@ def main(argv=None):
     p.add_argument("--envs", type=int, default=1 << 20)
     p.add_argument("--rollout-len", type=int, default=16)
     p.add_argument("--minibatches", type=int, default=128)
+    p.add_argument(
+        "--shuffle-blocks", type=int, default=64,
+        help="epoch-shuffle block count (PPOConfig.shuffle_blocks).  64 "
+        "is the record default: the flat-buffer permutation sorts were "
+        "~25%% of 1M-env train-step device time and 32-128 blocks all "
+        "measure ~5.55M env-steps/s vs 4.68M global (2026-08-20 A/B); "
+        "0 = global shuffle",
+    )
     p.add_argument("--iters", type=int, default=4, help="timed train steps")
     p.add_argument("--obs-buffer-dtype", default="int8")
     p.add_argument("--cpu", action="store_true")
@@ -55,6 +63,7 @@ def main(argv=None):
         rollout_len=args.rollout_len,
         num_minibatches=args.minibatches,
         obs_buffer_dtype=args.obs_buffer_dtype or None,
+        shuffle_blocks=args.shuffle_blocks or None,
     )
     init_fn, train_step = make_ppo(env, net, ppo_cfg)
     params, opt_state, states = init_fn(jax.random.PRNGKey(0))
@@ -84,15 +93,26 @@ def main(argv=None):
         "command": f"make_family_batch('ctf', {args.envs}) + make_ppo("
         f"rollout_len={args.rollout_len}, "
         f"num_minibatches={args.minibatches}, "
-        f"obs_buffer_dtype={args.obs_buffer_dtype!r}); "
+        f"obs_buffer_dtype={args.obs_buffer_dtype!r}, "
+        f"shuffle_blocks={args.shuffle_blocks or None}); "
         f"{args.iters} jitted train steps timed after warmup "
         f"(scripts/bench_ppo_scale.py)",
         "envs": args.envs,
         "rollout_len": args.rollout_len,
         "num_minibatches": args.minibatches,
         "obs_buffer_dtype": args.obs_buffer_dtype,
+        "shuffle_blocks": args.shuffle_blocks or None,
         "env_steps_per_sec": round(sps, 1),
         "backend": jax.default_backend(),
+        "run_date": __import__("datetime").date.today().isoformat(),
+        "harness": "honest timing v2 (device_get of the chained loss; "
+        "artifacts/measurement.md)",
+        "notes": "Round 5: blocked epoch shuffle (shuffle_blocks=64; "
+        "identical minibatch marginals over iid envs, rl/ppo.py) cut the "
+        "flat-buffer permutation sorts that were ~25% of train-step "
+        "device time — 4.68M -> ~5.55M env-steps/s at the 1M-env record "
+        "config, with the logsumexp-form action logprob replacing the "
+        "materialized log_softmax in rollout and loss.",
     }
     print(json.dumps(rec))
     if args.out:

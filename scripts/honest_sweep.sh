@@ -10,26 +10,22 @@ SPECS=(
   wildfire:xla-ms:16:packed
   wildfire:xla-ms:8:inloop
   wildfire:xla-ms:32:inloop
-  wildfire:pallas-ms:8
   wildfire:xla-step
   # collect: prefix_mode re-verify + chunk
   collect:xla-ms:25:packed:matmul
   collect:xla-ms:25:packed:adds
   collect:xla-ms:50:packed:matmul
   collect:xla-ms:25:inloop:matmul
-  collect:pallas-ms:15
   collect:xla-step
   # ctf: chunk re-pick
   ctf:xla-ms:50:packed
   ctf:xla-ms:25:packed
   ctf:xla-ms:100:packed
-  ctf:pallas-ms:25
   ctf:xla-step
   # maze: chunk re-pick
   maze:xla-ms:200:packed
   maze:xla-ms:100:packed
   maze:xla-ms:200:inloop
-  maze:pallas-ms:25
   maze:xla-step
 )
 for spec in "${SPECS[@]}"; do

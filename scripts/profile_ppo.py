@@ -68,6 +68,10 @@ def main(argv=None):
     p.add_argument("--rollout-len", type=int, default=16)
     p.add_argument("--minibatches", type=int, default=128)
     p.add_argument("--obs-buffer-dtype", default="int8")
+    p.add_argument(
+        "--shuffle-blocks", type=int, default=0,
+        help="PPOConfig.shuffle_blocks (0 = global shuffle)",
+    )
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--chip", default="v5e")
     p.add_argument("--trace", default=None)
@@ -90,6 +94,7 @@ def main(argv=None):
         rollout_len=args.rollout_len,
         num_minibatches=args.minibatches,
         obs_buffer_dtype=args.obs_buffer_dtype or None,
+        shuffle_blocks=args.shuffle_blocks or None,
     )
     init_fn, train_step = make_ppo(env, net, ppo_cfg)
     params, opt_state, states = init_fn(jax.random.PRNGKey(0))
@@ -137,6 +142,7 @@ def main(argv=None):
         "rollout_len": args.rollout_len,
         "num_minibatches": args.minibatches,
         "obs_buffer_dtype": args.obs_buffer_dtype,
+        "shuffle_blocks": args.shuffle_blocks or None,
         "backend": jax.default_backend(),
         "env_steps_per_s": round(env_steps_per_s, 1),
         "train_step_s": round(1.0 / train_steps_per_s, 4),

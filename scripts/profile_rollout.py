@@ -3,7 +3,7 @@ and (optionally) a TensorBoard-loadable xplane trace.
 
 Usage:
   python scripts/profile_rollout.py [--family collect] [--batch 8192]
-      [--steps 200] [--path xla-ms|xla-step|pallas-ms] [--trace DIR]
+      [--steps 200] [--path xla-ms|xla-step] [--trace DIR]
       [--cpu] [--json]
 
 Per run prints achieved agent-steps/s and the bandwidth-bound SOL fraction
@@ -68,15 +68,14 @@ def designed_bytes_per_env_step(family: str, cfg, path: str, chunk: int) -> int:
     else:
         raise ValueError(family)
 
-    if path in ("xla-ms", "pallas-ms"):
+    if path == "xla-ms":
         from bench_all import MS_MODE
 
-        if path == "xla-ms" and MS_MODE.get(family) == "inloop":
+        if MS_MODE.get(family) == "inloop":
             # In-loop RNG: the uniform stream fuses into its consumers and
             # never touches HBM (artifacts/inloop_rng.md).
             rand = 0
-        # State crosses HBM once per CHUNK (kernel: VMEM-resident; XLA:
-        # at worst rematerialized per step — the model stays the designed
+        # State crosses HBM once per CHUNK (the model stays the designed
         # minimum); uniforms are written once + read once per step.
         return int(2 * state / max(chunk, 1) + 2 * rand)
     return int(2 * state + 2 * rand)
@@ -95,7 +94,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--path",
         default="xla-ms",
-        choices=["xla-step", "xla-ms", "pallas-ms"],
+        choices=["xla-step", "xla-ms"],
     )
     p.add_argument("--trace", default=None, help="xplane trace output dir")
     p.add_argument("--chip", default="v5e")

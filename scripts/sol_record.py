@@ -98,6 +98,24 @@ def main(argv=None) -> int:
                 f"{top_res} ({top_frac:.0%} of observed device time; "
                 "see observed_profile.top_ops)"
             )
+            if top_res != "HBM":
+                # Reconciliation (round-5 task 4): the *_sol_fraction
+                # columns are HBM-bandwidth utilizations — achieved
+                # GB/s over the chip's peak.  For a program whose
+                # observed binding resource is the VPU or VMEM ports,
+                # a LOW HBM fraction means the program simply moves
+                # little HBM data (state fits on-chip), not that 1/frac
+                # speedup headroom exists; the roofline that limits it
+                # is the one named in binding_resource.  (Maze was the
+                # flagship case: 0.03 HBM fraction while compute-bound
+                # — and the one real waste the low number pointed at,
+                # the (B, K, 1) single-lane draw layout at 12% of
+                # device time, was taken in round 5: 1250M -> 1386M.)
+                rec["sol_fraction_note"] = (
+                    "HBM-utilization column only; binding resource is "
+                    f"{top_res} per the observed profile — low HBM "
+                    "fraction = little HBM traffic, not headroom"
+                )
         else:
             frac = max(
                 rec["sol_fraction"], rec.get("xla_traffic_sol_fraction", 0)
@@ -119,7 +137,7 @@ def main(argv=None) -> int:
             "bench_scale": ["--envs", "8192", "--rollout-len", "32",
                             "--minibatches", "8"],
             "record_1m": ["--envs", str(1 << 20), "--rollout-len", "16",
-                          "--minibatches", "128"],
+                          "--minibatches", "128", "--shuffle-blocks", "64"],
         }
         for name, extra in ppo_points.items():
             cmd = [

@@ -4,10 +4,10 @@ Dev tool behind bench_all.py: measures any (family, path, chunk) combo and
 prints one JSON line each, so new path candidates can be compared on the
 real chip before being promoted to a headline in bench_all.py.
 
-  python scripts/sweep_paths.py --spec maze:xla-ms:25 maze:pallas-ms:25
+  python scripts/sweep_paths.py --spec maze:xla-ms:25 maze:xla-step
   python scripts/sweep_paths.py --spec ctf:xla-ms:25 --batch 8192 --steps 100
 
-Paths: pallas-ms (fused multi-step kernel episode rollout), xla-ms (the
+Paths: xla-ms (the
 same multi-step math as plain XLA), xla-step (BatchedEnv.rollout over the
 slab step), pallas-step (BatchedEnv.rollout over the single-step kernel).
 """
@@ -120,9 +120,13 @@ def measure_one(spec: str, batch: int, steps: int, reps: int,
     env = make_batch(cfg, batch, use_pallas=(path == "pallas-step"))
     init = jax.jit(lambda k: env.reset(k)[0])
 
-    if path in ("xla-ms", "pallas-ms"):
+    if path == "pallas-ms":
+        # pruned in round 5 — artifacts/kernel_vs_xla.md
+        print(json.dumps({"spec": spec, "error": "pallas-ms pruned"}))
+        return
+    if path == "xla-ms":
         ro = _episode_rollout(
-            family, cfg, chunk, path == "pallas-ms",
+            family, cfg, chunk, False,
             rnd_mode=rnd_mode, prefix_mode=prefix_mode,
         )
         if ro is None:

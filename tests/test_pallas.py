@@ -125,10 +125,16 @@ def test_even_layout_no_respawn_terminates():
     assert done_seen
 
 
-def test_multistep_kernel_matches_repeated_single_steps():
+def test_multistep_math_matches_repeated_single_steps():
+    """The XLA K-step episode math (the perf headline's inner loop) must
+    equal K applications of the single-step spec on the same draws.
+    (Through round 4 this pinned the multi-step episode KERNEL; the
+    kernel was pruned after the slab-width sweep —
+    artifacts/kernel_vs_xla.md — and the ms math is now pinned to the
+    spec directly.)"""
     from gym_multigrid_tpu.envs.collect import build_plan, reward_slot_tables
     from gym_multigrid_tpu.ops.pallas_collect import (
-        collect_multistep_slab,
+        _collect_ms_math,
         make_collect_episode_rollout,
     )
 
@@ -143,13 +149,15 @@ def test_multistep_kernel_matches_repeated_single_steps():
     packed = jnp.concatenate([acts, rnd], axis=2).reshape(n, K * (A + 3))
 
     rwd_tab, slot_tab, _ = reward_slot_tables(CFG, build_plan(CFG))
-    reward_slot = (
-        tuple(float(x) for x in rwd_tab),
-        tuple(int(x) for x in slot_tab),
-    )
-    go, gc, gs, p, rew, cnt = collect_multistep_slab(
-        t, states.grid_obj, states.grid_color, states.grid_slot, pos,
-        packed, K, reward_slot, CFG.num_ball_types, True,
+    rects_ms = jnp.asarray(np.array(t.respawn_rects, dtype=np.bool_))
+    C_ = states.grid_obj.shape[1]
+    tril_ms = jnp.asarray(np.tril(np.ones((C_, C_), dtype=np.float32)).T)
+    go, gc, gs, p, rew, cnt = _collect_ms_math(
+        t, K, states.grid_obj, states.grid_color, states.grid_slot, pos,
+        packed, rects_ms, tril_ms,
+        jnp.asarray(np.array(rwd_tab, dtype=np.float32)),
+        jnp.asarray(np.array(slot_tab, dtype=np.int32)),
+        CFG.num_ball_types,
     )
 
     # Reference: K applications of the single-step math.

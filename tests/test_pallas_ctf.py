@@ -331,13 +331,20 @@ def test_ctf_pallas_xla_distribution_agreement():
     assert abs(rc - rp) < 0.02, (rc, rp)
 
 
-def test_ctf_multistep_kernel_matches_spec():
+def test_ctf_multistep_math_matches_repeated_single_steps():
+    """The K-step episode math (the perf headline's inner loop) must
+    equal K manual applications of the single-step spec + the auto-reset
+    select logic on the same draws.  (Through round 4 this pinned the
+    multi-step episode kernel, pruned after the round-5 slab-width sweep
+    — artifacts/kernel_vs_xla.md.)"""
     from gym_multigrid_tpu.ops.pallas_ctf import (
         _ctf_ms_math,
-        ctf_multistep_slab,
+        _ctf_reset_math,
+        _ctf_step_math,
         ctf_reset_inputs,
         ctf_static_inputs,
         ms_stride,
+        rnd_width,
     )
 
     cfg = _cfg(
@@ -360,15 +367,44 @@ def test_ctf_multistep_kernel_matches_spec():
         base = k * ms_stride(t)
         packed = packed.at[:, base : base + 2].multiply(5.0)
 
-    spec = _ctf_ms_math(
+    got = _ctf_ms_math(
         t, K, pos, dirs, term, coll, sc, run_ret, packed, cells, border,
         pool, *terr,
     )
-    kern = ctf_multistep_slab(
-        t, pos, dirs, term, coll, sc, run_ret, K, True, packed, cells,
-        (border, pool), terr,
-    )
-    for s, g in zip(spec, kern):
+
+    # independent oracle: unrolled single steps + reset selects
+    Rs = rnd_width(t)
+    stride = ms_stride(t)
+    w_pos, w_dirs, w_term, w_coll, w_sc = pos, dirs, term, coll, sc
+    w_run = run_ret
+    w_rew = jnp.zeros((B, 1), jnp.float32)
+    w_ep = jnp.zeros((B, 1), jnp.float32)
+    w_eps = jnp.zeros((B, 1), jnp.int32)
+    for k in range(K):
+        base = k * stride
+        ba = packed[:, base : base + t.n_blue].astype(jnp.int32)
+        rnd_step = packed[:, base + t.n_blue : base + t.n_blue + Rs]
+        rnd_reset = packed[:, base + t.n_blue + Rs : base + stride]
+        p2, d2, t2, c2, reward, ep_term, *_ = _ctf_step_math(
+            t, w_pos, w_dirs, w_term, w_coll, ba, rnd_step, cells, border,
+            pool,
+        )
+        sc2 = w_sc + 1
+        done = (ep_term == 1) | (sc2 >= t.max_steps)
+        run2 = w_run + reward
+        w_rew = w_rew + reward
+        w_ep = w_ep + jnp.where(done, run2, 0.0)
+        w_eps = w_eps + done.astype(jnp.int32)
+        w_run = jnp.where(done, 0.0, run2)
+        rpos = _ctf_reset_math(t, rnd_reset, *terr)
+        w_pos = jnp.where(done, rpos, p2)
+        w_dirs = jnp.where(done, 3, d2)
+        w_term = jnp.where(done, 0, t2)
+        w_coll = jnp.where(done, 0, c2)
+        w_sc = jnp.where(done, 0, sc2)
+    want = (w_pos, w_dirs, w_term, w_coll, w_sc, w_run, w_rew, w_ep, w_eps)
+
+    for s, g in zip(want, got):
         s, g = np.asarray(s), np.asarray(g)
         if np.issubdtype(s.dtype, np.integer):
             np.testing.assert_array_equal(s, g)

@@ -16,7 +16,6 @@ from gym_multigrid_tpu.ops.pallas_maze import (
     MS_STRIDE,
     _maze_ms_math,
     make_maze_episode_rollout,
-    maze_multistep_slab,
     maze_step_slab,
 )
 from gym_multigrid_tpu.parallel.vector import make_maze_batch
@@ -43,7 +42,13 @@ def test_maze_step_kernel_matches_spec():
             np.testing.assert_allclose(s, k, rtol=1e-6, atol=1e-6)
 
 
-def test_maze_multistep_kernel_matches_spec():
+def test_maze_multistep_math_matches_repeated_single_steps():
+    """The K-step episode math must equal K manual applications of the
+    single-step spec + the auto-reset selects on the same draws.
+    (Through round 4 this pinned the multi-step episode kernel, pruned
+    after the round-5 slab-width sweep — artifacts/kernel_vs_xla.md.)"""
+    from gym_multigrid_tpu.envs.maze import maze_reset_math
+
     t = maze_tables(CFG)
     cells, bg = maze_static_inputs(CFG)
     B, K = 16, 6
@@ -56,11 +61,32 @@ def test_maze_multistep_kernel_matches_spec():
     for k in range(K):
         packed = packed.at[:, k * MS_STRIDE].multiply(5.0)
 
-    spec = _maze_ms_math(t, K, pos, dirs, sc, run_ret, packed, cells, bg)
-    kern = maze_multistep_slab(
-        t, pos, dirs, sc, run_ret, K, True, packed, cells, bg
-    )
-    for s, k in zip(spec, kern):
+    got = _maze_ms_math(t, K, pos, dirs, sc, run_ret, packed, cells, bg)
+
+    # independent oracle: unrolled single steps + reset selects
+    w_pos, w_dirs, w_sc, w_run = pos, dirs, sc, run_ret
+    w_rew = jnp.zeros((B, 1), jnp.float32)
+    w_ep = jnp.zeros((B, 1), jnp.float32)
+    w_eps = jnp.zeros((B, 1), jnp.int32)
+    for k in range(K):
+        base = k * MS_STRIDE
+        acts = packed[:, base : base + 1].astype(jnp.int32)
+        rnd_reset = packed[:, base + 1 : base + 2]
+        p2, d2, reward, term = maze_step_math(t, w_pos, w_dirs, acts, cells)
+        sc2 = w_sc + 1
+        done = (term == 1) | (sc2 >= t.max_steps)
+        run2 = w_run + reward
+        w_rew = w_rew + reward
+        w_ep = w_ep + jnp.where(done, run2, 0.0)
+        w_eps = w_eps + done.astype(jnp.int32)
+        w_run = jnp.where(done, 0.0, run2)
+        rpos, rdirs = maze_reset_math(t, rnd_reset, bg)
+        w_pos = jnp.where(done, rpos, p2)
+        w_dirs = jnp.where(done, rdirs, d2)
+        w_sc = jnp.where(done, 0, sc2)
+    want = (w_pos, w_dirs, w_sc, w_run, w_rew, w_ep, w_eps)
+
+    for s, k in zip(want, got):
         s, k = np.asarray(s), np.asarray(k)
         if np.issubdtype(s.dtype, np.integer):
             np.testing.assert_array_equal(s, k)

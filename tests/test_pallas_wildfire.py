@@ -20,7 +20,6 @@ from gym_multigrid_tpu.envs.wildfire import (
 from gym_multigrid_tpu.ops.pallas_wildfire import (
     _ms_math,
     make_wildfire_episode_rollout,
-    wildfire_multistep_slab,
     wildfire_step_slab,
 )
 from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
@@ -58,11 +57,16 @@ def test_step_kernel_matches_spec():
     _assert_match(spec, kern)
 
 
-def test_multistep_kernel_matches_spec():
+def test_multistep_math_matches_repeated_single_steps():
+    """The K-step episode math must equal K manual applications of the
+    single-step spec + the auto-reset selects on the same draws.
+    (Through round 4 this pinned the multi-step episode kernel, pruned
+    after the round-5 slab-width sweep — artifacts/kernel_vs_xla.md.)"""
     t, cells, pos, acts, rnd = _random_slab(16, jax.random.PRNGKey(1))
     B = cells.shape[0]
     K = 4
-    stride = t.n_agents + step_rnd_width(t) + reset_rnd_width(t)
+    Rs, Rr = step_rnd_width(t), reset_rnd_width(t)
+    stride = t.n_agents + Rs + Rr
     k1, k2 = jax.random.split(jax.random.PRNGKey(2))
     a = jax.random.randint(k1, (B, K, t.n_agents), 0, 5).astype(jnp.float32)
     r = jax.random.uniform(k2, (B, K, stride - t.n_agents))
@@ -73,11 +77,36 @@ def test_multistep_kernel_matches_spec():
     adj = jnp.asarray(adjacency(CFG))
     tril = jnp.asarray(np.tril(np.ones((t.n_cells, t.n_cells), np.float32)).T)
 
-    spec = _ms_math(t, K, cells, pos, sc, ext, run_ret, packed, adj, tril)
-    kern = wildfire_multistep_slab(
-        t, cells, pos, sc, ext, run_ret, K, True, packed
-    )
-    _assert_match(spec, kern)
+    got = _ms_math(t, K, cells, pos, sc, ext, run_ret, packed, adj, tril)
+
+    # independent oracle: unrolled single steps + reset selects
+    w_c, w_p, w_sc, w_ext, w_run = cells, pos, sc, ext, run_ret
+    w_rew = jnp.zeros((B, 1), jnp.float32)
+    w_ep = jnp.zeros((B, 1), jnp.float32)
+    w_eps = jnp.zeros((B, 1), jnp.int32)
+    for k in range(K):
+        base = k * stride
+        a_k = packed[:, base : base + t.n_agents].astype(jnp.int32)
+        rnd_step = packed[:, base + t.n_agents : base + t.n_agents + Rs]
+        rnd_reset = packed[:, base + t.n_agents + Rs : base + stride]
+        c2, p2, reward, n_ext, term = wf_step_math(
+            t, w_c, w_p, a_k, rnd_step, adj
+        )
+        sc2 = w_sc + 1
+        done = (term == 1) | (sc2 >= t.max_steps)
+        run2 = w_run + reward
+        w_rew = w_rew + reward
+        w_ep = w_ep + jnp.where(done, run2, 0.0)
+        w_eps = w_eps + done.astype(jnp.int32)
+        w_run = jnp.where(done, 0.0, run2)
+        ext2 = w_ext + n_ext
+        rc, rp = wf_reset_math(t, rnd_reset, tril)
+        w_c = jnp.where(done, rc, c2)
+        w_p = jnp.where(done, rp, p2)
+        w_sc = jnp.where(done, 0, sc2)
+        w_ext = jnp.where(done, 0, ext2)
+    want = (w_c, w_p, w_sc, w_ext, w_run, w_rew, w_ep, w_eps)
+    _assert_match(want, got)
 
 
 def test_step_batch_pallas_equals_xla():

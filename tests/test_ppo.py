@@ -182,3 +182,40 @@ def test_family_obs_option_validation():
         make_family_batch("wildfire", 4, obs_option="map")
     with pytest.raises(ValueError, match="not trainable"):
         make_family_batch("maze", 4, obs_option="positional")
+
+
+def test_shuffle_blocks_partitions_and_trains():
+    """shuffle_blocks=B runs the epoch shuffle as B independent per-block
+    permutations (cheaper sorts at scale — artifacts/sol_report.json
+    ppo_train); every minibatch draws from every block and the epoch
+    still covers each sample exactly once."""
+    # structural partition check mirroring the update's index algebra
+    n_local, S, mb = 16, 4, 2
+    perm = jax.vmap(lambda k: jax.random.permutation(k, n_local))(
+        jax.random.split(jax.random.PRNGKey(0), S)
+    )
+    idxs = perm.reshape((S, mb, n_local // mb)).transpose(1, 0, 2)
+    flat = [
+        (s, int(i))
+        for m in range(mb)
+        for s in range(S)
+        for i in np.asarray(idxs[m, s])
+    ]
+    assert sorted(flat) == [(s, i) for s in range(S) for i in range(n_local)]
+
+    # end to end: blocked shuffle trains, finite loss, params move
+    init_b, step_b = _setup(num_envs=8, num_minibatches=2, shuffle_blocks=4)
+    params, opt_state, states = init_b(jax.random.PRNGKey(0))
+    p2, _, _, _, metrics = jax.jit(step_b)(
+        params, opt_state, states, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert _leaf_delta(params, p2) > 0
+
+    # blocks must stay shard-local under a mesh
+    init_bad, step_bad = _setup(num_envs=8, dp_shards=2, shuffle_blocks=3)
+    params, opt_state, states = init_bad(jax.random.PRNGKey(0))
+    with pytest.raises(AssertionError, match="multiple of"):
+        jax.eval_shape(
+            step_bad, params, opt_state, states, jax.random.PRNGKey(1)
+        )

@@ -203,3 +203,28 @@ def test_tiny_burnout_runs_on_fallback_and_still_burns_out():
     # least one burnt cell in the final boards is overwhelmingly likely
     # (P(none at the end) ~ 0) yet impossible if quantized to zero.
     assert int(jnp.sum(states.cells == BURNT)) > 0
+
+
+def test_large_board_compact_uses_lane_shift_stencil():
+    """Boards past the 24x24 gate run the compact path with the
+    matmul-free lane-shift stencil (bit-identical integers to the
+    adjacency matmul; the (C,C) matmul cost 25% of the work rate at
+    32x32 — artifacts/board_scaling.md).  The rollout must still run and
+    keep the fire/tree physics sane."""
+    from gym_multigrid_tpu.ops.pallas_wildfire import (
+        make_wildfire_episode_rollout,
+    )
+    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
+
+    cfg = WildfireConfig(size=32, max_steps=20)
+    env = make_wildfire_batch(cfg, 16)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    rollout = make_wildfire_episode_rollout(
+        cfg, chunk=5, use_kernel=False, rnd_mode="inloop"
+    )
+    states, metrics = rollout(states, jax.random.PRNGKey(1), 20)
+    assert np.isfinite(float(metrics["reward_sum"]))
+    cells = np.asarray(states.cells)
+    # boards contain only legal cell codes and some vegetation
+    assert set(np.unique(cells)) <= {0, 1, 2, 3, 4}
+    assert (cells == TREE).sum() > 0

@@ -1,15 +1,14 @@
-"""The XLA multi-step episode paths (use_kernel=False) match the fused
-multi-step kernels launch for launch.
+"""The XLA multi-step episode paths: prefix-mode bit-identity, the
+kernel-prune deprecation shim, and RNG-mode/impl distribution agreement.
 
-Both sides of make_*_episode_rollout draw the SAME pre-packed randomness
-from the same key and share the per-step slab math; the only differences
-are accumulation order (kernel iota-compare selects vs XLA gathers) and
-the interpreter's float reductions (~1 ulp).  So: int state fields are
-bit-equal, float metrics agree to tight tolerance.
-
-This pins the promoted headline paths (bench_all.py HEADLINE) to the
-kernels that are themselves bit-compared against the pure per-env spec in
-test_pallas*.py — closing the chain headline-path == kernel == spec.
+The headline episode math is pinned to the per-step spec by the
+"ms math == repeated single steps" oracles in test_pallas*.py (through
+round 4 that chain ran via the multi-step episode kernels, pruned after
+the round-5 slab-width sweep — artifacts/kernel_vs_xla.md); here we pin
+everything AROUND that math: every prefix-sum form is bit-identical,
+use_kernel=True warns and degrades to the identical XLA path, and the
+packed / packedbits / in-loop / rbg randomness modes agree
+distributionally (SURVEY.md §2.3 parity bar).
 """
 
 from __future__ import annotations
@@ -55,28 +54,6 @@ def _compare(roll_k, roll_x, states, steps, int_fields, float_fields):
     )
 
 
-def test_collect_episode_xla_matches_kernel():
-    from gym_multigrid_tpu.envs.collect import CollectConfig
-    from gym_multigrid_tpu.ops.pallas_collect import (
-        make_collect_episode_rollout,
-    )
-    from gym_multigrid_tpu.parallel.vector import make_collect_batch
-
-    cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=10)
-    env = make_collect_batch(cfg, 16)
-    states, _ = env.reset(jax.random.PRNGKey(0))
-    roll_k = make_collect_episode_rollout(cfg, chunk=5, interpret=True)
-    roll_x = make_collect_episode_rollout(
-        cfg, chunk=5, interpret=True, use_kernel=False, rnd_mode="packed"
-    )
-    _compare(
-        roll_k, roll_x, states, 20,
-        int_fields=("grid_obj", "grid_color", "grid_slot", "agent_pos",
-                    "step_count"),
-        float_fields=(),
-    )
-
-
 def test_collect_prefix_modes_bit_identical():
     """The XLA path's three prefix-sum forms for the respawn picks —
     log-doubling integer adds, one f32 MXU tril matmul, and the bf16
@@ -115,79 +92,37 @@ def test_collect_prefix_modes_bit_identical():
         )
 
 
-def test_ctf_episode_xla_matches_kernel():
-    from gym_multigrid_tpu.envs.ctf import CtfConfig, PolicySpec
-    from gym_multigrid_tpu.ops.pallas_ctf import make_ctf_episode_rollout
-    from gym_multigrid_tpu.parallel.vector import make_ctf_batch
+def test_use_kernel_shim_warns_and_matches():
+    """The pruned multi-step episode kernels left a deprecation shim:
+    use_kernel=True must warn once and produce the IDENTICAL rollout to
+    use_kernel=False (same key, same draws, same XLA math)."""
+    import warnings
 
-    cfg = CtfConfig.from_map_path(
-        os.path.join(TESTS, "assets/board.txt"),
-        num_blue_agents=2,
-        num_red_agents=2,
-        variant="mvn",
-        enemy_policies=(PolicySpec("fight"), PolicySpec("rw")),
-        observation_option="flattened",
-        max_steps=8,
+    from gym_multigrid_tpu.envs.collect import CollectConfig
+    from gym_multigrid_tpu.ops.pallas_collect import (
+        make_collect_episode_rollout,
     )
-    env = make_ctf_batch(cfg, 16)
+    from gym_multigrid_tpu.parallel.vector import make_collect_batch
+
+    cfg = CollectConfig(layout="quadrants_respawn", respawn=True, max_steps=10)
+    env = make_collect_batch(cfg, 16)
     states, _ = env.reset(jax.random.PRNGKey(0))
-    roll_k = make_ctf_episode_rollout(cfg, chunk=4, interpret=True)
-    roll_x = make_ctf_episode_rollout(
-        cfg, chunk=4, interpret=True, use_kernel=False, rnd_mode="packed"
-    )
-    _compare(
-        roll_k, roll_x, states, 8,
-        int_fields=("pos", "dir", "terminated", "collided", "step_count"),
-        float_fields=(),
-    )
-
-
-def test_maze_episode_xla_matches_kernel():
-    from gym_multigrid_tpu.envs.maze import MazeConfig
-    from gym_multigrid_tpu.ops.pallas_maze import make_maze_episode_rollout
-    from gym_multigrid_tpu.parallel.vector import make_maze_batch
-
-    cfg = MazeConfig.from_map_path(
-        os.path.join(TESTS, "assets/board_maze.txt"), max_steps=10
-    )
-    env = make_maze_batch(cfg, 16)
-    states, _ = env.reset(jax.random.PRNGKey(0))
-    roll_k = make_maze_episode_rollout(cfg, chunk=5, interpret=True)
-    roll_x = make_maze_episode_rollout(
-        cfg, chunk=5, interpret=True, use_kernel=False, rnd_mode="packed"
-    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        roll_k = make_collect_episode_rollout(cfg, chunk=5, use_kernel=True)
+    assert any("pruned" in str(w.message) for w in caught)
+    roll_x = make_collect_episode_rollout(cfg, chunk=5, use_kernel=False)
     _compare(
         roll_k, roll_x, states, 20,
-        int_fields=("pos", "dir", "step_count"),
+        int_fields=("grid_obj", "grid_color", "grid_slot", "agent_pos",
+                    "step_count"),
         float_fields=(),
     )
 
 
-def test_wildfire_episode_xla_matches_kernel():
-    from gym_multigrid_tpu.envs.wildfire import WildfireConfig
-    from gym_multigrid_tpu.ops.pallas_wildfire import (
-        make_wildfire_episode_rollout,
-    )
-    from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
-
-    cfg = WildfireConfig(size=16, max_steps=6)
-    env = make_wildfire_batch(cfg, 8)
-    states, _ = env.reset(jax.random.PRNGKey(0))
-    roll_k = make_wildfire_episode_rollout(cfg, chunk=3, interpret=True)
-    roll_x = make_wildfire_episode_rollout(
-        cfg, chunk=3, interpret=True, use_kernel=False, rnd_mode="packed"
-    )
-    assert roll_k is not None and roll_x is not None
-    _compare(
-        roll_k, roll_x, states, 6,
-        int_fields=("cells", "agent_pos", "step_count"),
-        float_fields=("extinguished",),
-    )
-
-
-def test_xla_ms_unsupported_config_still_works():
-    # Outside the kernel envelope the kernel factory returns None, but the
-    # XLA twin must still build (it has no envelope).
+def test_xla_ms_small_board_config_works():
+    # Odd small boards (8x8 = 64 cells, not a lane multiple) must build
+    # and run — the XLA episode math has no shape envelope.
     from gym_multigrid_tpu.envs.wildfire import WildfireConfig
     from gym_multigrid_tpu.ops.pallas_wildfire import (
         make_wildfire_episode_rollout,
@@ -195,10 +130,7 @@ def test_xla_ms_unsupported_config_still_works():
     from gym_multigrid_tpu.parallel.vector import make_wildfire_batch
 
     cfg = WildfireConfig(size=8, max_steps=4)
-    assert make_wildfire_episode_rollout(cfg, interpret=True) is None
-    roll_x = make_wildfire_episode_rollout(
-        cfg, chunk=2, interpret=True, use_kernel=False
-    )
+    roll_x = make_wildfire_episode_rollout(cfg, chunk=2, interpret=True)
     assert roll_x is not None
     env = make_wildfire_batch(cfg, 4)
     states, _ = env.reset(jax.random.PRNGKey(0))
@@ -250,7 +182,9 @@ def test_inloop_rnd_matches_packed_distribution():
     env = make_collect_batch(cfg, 128)
     states, _ = env.reset(jax.random.PRNGKey(0))
     steps = 100
-    roll_in = make_collect_episode_rollout(cfg, chunk=5, use_kernel=False)
+    roll_in = make_collect_episode_rollout(
+        cfg, chunk=5, use_kernel=False, rnd_mode="inloop"
+    )
     roll_pk = make_collect_episode_rollout(
         cfg, chunk=5, use_kernel=False, rnd_mode="packed"
     )
