@@ -230,10 +230,25 @@ def make_update_fn(net, tx, cfg: PPOConfig):
             x = jnp.moveaxis(x, 1, 0)
             return x.reshape((S, n_local) + x.shape[2:])
 
-        flat = jax.tree_util.tree_map(
-            to_shard_major,
-            (traj.obs, traj.actions, traj.logp, advantages, returns),
+        # Per-sample scalars ride ONE packed (n, A+3) f32 row —
+        # [actions..., logp, advantage, return] — so each minibatch runs
+        # two gathers (obs + this) instead of five.  Four separate
+        # 4-8-byte-row random gathers were individually visible in the
+        # 1M-env train-step profile (the five gather fusions together
+        # ~32% of device time, artifacts/sol_report.json ppo_train).
+        # Bit-exact: small int actions round-trip f32 exactly, the rest
+        # are f32 already.
+        A_dim = traj.actions.shape[-1]
+        small = jnp.concatenate(
+            [
+                traj.actions.astype(jnp.float32),
+                traj.logp[..., None],
+                advantages[..., None],
+                returns[..., None],
+            ],
+            axis=-1,
         )
+        flat = jax.tree_util.tree_map(to_shard_major, (traj.obs, small))
 
         def one_epoch(carry, k_ep):
             params, opt_state = carry
@@ -249,16 +264,31 @@ def make_update_fn(net, tx, cfg: PPOConfig):
             idxs = perm.reshape(
                 (S, cfg.num_minibatches, mb_local)
             ).transpose(1, 0, 2)
+            # NEGATIVE RESULT (round 5, measured): sorting each
+            # minibatch's rows here (`jnp.sort(idxs, -1)` — membership
+            # and hence the gradient unchanged up to float reduction
+            # order) was meant to turn the per-minibatch buffer gathers
+            # (~32% of the 1M-env train step) into near-sequential
+            # walks; it measured 5.57M vs 5.55M env-steps/s — XLA's
+            # TPU gather does not exploit sorted indices, so the sort
+            # is pure extra work and is not kept.
 
             def one_minibatch(carry, idx):
                 params, opt_state = carry
                 # Per-shard row gather (idx row i indexes shard i only),
                 # then a local flatten to the (S*mb_local,) minibatch.
-                mb = jax.tree_util.tree_map(
+                obs_mb, small_mb = jax.tree_util.tree_map(
                     lambda x: jax.vmap(lambda row, ii: row[ii])(
                         x, idx
                     ).reshape((S * mb_local,) + x.shape[2:]),
                     flat,
+                )
+                mb = (
+                    obs_mb,
+                    small_mb[:, :A_dim].astype(jnp.int32),
+                    small_mb[:, A_dim],
+                    small_mb[:, A_dim + 1],
+                    small_mb[:, A_dim + 2],
                 )
                 (_, metrics), grads = jax.value_and_grad(
                     _loss, has_aux=True

@@ -107,12 +107,16 @@ def main(argv=None):
         "run_date": __import__("datetime").date.today().isoformat(),
         "harness": "honest timing v2 (device_get of the chained loss; "
         "artifacts/measurement.md)",
-        "notes": "Round 5: blocked epoch shuffle (shuffle_blocks=64; "
-        "identical minibatch marginals over iid envs, rl/ppo.py) cut the "
-        "flat-buffer permutation sorts that were ~25% of train-step "
-        "device time — 4.68M -> ~5.55M env-steps/s at the 1M-env record "
-        "config, with the logsumexp-form action logprob replacing the "
-        "materialized log_softmax in rollout and loss.",
+        "notes": "Round 5, two trace-driven learner wins (profiles in "
+        "artifacts/sol_report.json ppo_train): (1) blocked epoch shuffle "
+        "(shuffle_blocks=64; identical minibatch marginals over iid "
+        "envs) cut the flat-buffer permutation sorts that were ~25% of "
+        "train-step device time, 4.68M -> 5.55M env-steps/s; (2) the "
+        "four per-sample scalar arrays (actions/logp/advantage/return) "
+        "ride ONE packed f32 row so each minibatch runs two gathers "
+        "instead of five (the gather fusions were ~32% of the step), "
+        "5.55M -> 6.85M.  Plus the logsumexp-form action logprob "
+        "replacing the materialized log_softmax in rollout and loss.",
     }
     print(json.dumps(rec))
     if args.out:
