@@ -711,6 +711,13 @@ def _ctf_ms_math(t: CtfKTables, K, pos, dirs, term, coll, sc, run_ret,
     rew_sum = jnp.zeros((B, 1), jnp.float32)
     ep_sum = jnp.zeros((B, 1), jnp.float32)
     eps = jnp.zeros((B, 1), jnp.int32)
+    # NEGATIVE RESULT (round 5, measured): spawn positions depend only
+    # on their uniforms, so all K steps' respawns CAN precompute as one
+    # batched (B*K)-row _ctf_reset_math before the loop (bit-identical
+    # per row, ~10 territory-lane ops per step off the critical chain).
+    # Measured 785M vs 1110M agent-steps/s: the bulk form's PickState
+    # temporaries are (B*K, terr) planes that spill through HBM, where
+    # the per-step (B, terr) slabs stay on-chip.  Keep the in-loop form.
     for k in range(K):
         if packed.ndim <= 1:
             # In-loop RNG: `packed` is a PRNG key (see pallas_wildfire
