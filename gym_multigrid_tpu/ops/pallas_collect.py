@@ -1,25 +1,27 @@
-"""Fused Pallas kernel for the Collect step (the benchmark hot path).
+"""Collect slab math: Pallas kernels + the XLA episode rollout (the
+benchmark hot path — `bench.py`'s driver metric runs
+:func:`make_collect_episode_rollout`).
 
-The plain-XLA step lowers to dozens of small fused loops per agent
-(gather, pickup, respawn cumsum, scatter), each a round-trip over the
-(B, cells) planes; at batch 8192 the step is launch/dependency bound, not
-bandwidth bound.  This kernel executes the WHOLE transition — both agents'
-sequential moves, pickup, partition-aware respawn — in one VMEM-resident
-pass per batch block: the planes are loaded once, all intermediate arrays
-live in registers/VMEM, and one store writes the result.
+One set of batched "slab" transition functions over (B, cells) planes
+serves every execution mode:
 
-Design:
+* ``collect_step_slab`` / ``collect_reset_slab`` — fused Pallas
+  kernels, the bit-compared second-backend validation layer
+  (tests/test_pallas.py).  Each program instance owns a (BLK, cells)
+  slab; all randomness is drawn OUTSIDE with jax.random and passed in,
+  so ``_step_math`` doubles as the pure-jax reference spec.
+* ``_collect_ms_math_packed`` / ``make_collect_episode_rollout`` — the
+  measured headline: K unrolled steps per plain-XLA chunk program on
+  ONE packed (obj|color<<4|slot<<8) plane, carried packed through chunk
+  and episode boundaries, with the fused reset in-graph.  (Multi-step
+  episode KERNEL variants existed through round 4 and were pruned after
+  the slab-width sweep — artifacts/kernel_vs_xla.md; the round-5
+  optimization chain is documented in artifacts/collect_r5.md.)
 
-* The batch is the grid axis: each program instance owns a (BLK, cells)
-  slab of the object/color planes plus the per-env scalar rows.
-* All randomness is drawn OUTSIDE the kernel with jax.random (3 uniforms
-  per env per step) and passed in — the kernel is a deterministic function
-  of its inputs, so ``_step_math`` doubles as a pure-jax reference spec and
-  the kernel is bit-compared against it in tests (tests/test_pallas.py).
-* Distribution parity with envs/collect.py is exact: the move order of two
-  agents is a fair coin, and ``floor(u * count)`` over the masked prefix sum
-  is uniform over empty cells — the same distributions the reference's
-  rejection sampling induces (SURVEY.md §2.3).
+Distribution parity with envs/collect.py is exact: the move order of two
+agents is a fair coin, and ``floor(u * count)`` over the masked prefix sum
+is uniform over empty cells — the same distributions the reference's
+rejection sampling induces (SURVEY.md §2.3).
 
 Supported: n_agents in (1, 2) (every shipped Collect config).  Other agent
 counts fall back to the standard XLA path.
@@ -37,8 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 512  # envs per program instance (single-step kernel)
-MS_BLK = 128  # envs per program instance (multi-step/reset kernels; Mosaic
-# stacks per-unrolled-step temporaries, so VMEM grows with chunk x planes)
+MS_BLK = 128  # envs per program instance (reset kernel; its 17-placement
+# program stacks per-placement temporaries in scoped VMEM)
 
 
 class _Tables(NamedTuple):
